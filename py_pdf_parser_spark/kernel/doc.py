@@ -1,0 +1,682 @@
+"""Per-document vectorized element model.
+
+This is the in-kernel (inside a pandas/Arrow UDF batch) equivalent of the
+reference's ``PDFDocument`` + ``PDFElement`` + ``ElementList``
+(/root/reference/py_pdf_parser/components.py, filtering.py) — re-expressed
+over numpy arrays for one document instead of a Python object graph.
+
+Semantics intentionally preserved (see SURVEY.md §2, §7 "hard parts"):
+  * element ordering: per-page stable sort by the preset key, pages in
+    ascending page-number order; global ``idx`` assigned over the result
+    (components.py:406-424, 30-43).  Stable ties keep input (offset) order.
+  * ``font`` = ``f"{font_name},{round(font_size, precision)}"`` using
+    *Python* round (half-to-even) and Python int/float repr, then mapped
+    through ``font_mapping`` — regex mode tries ``re.match`` over mapping
+    items in insertion order, first hit wins, with fall-through to the
+    exact ``.get(font) or font`` lookup (components.py:213-238).
+  * geometry predicates use closed intervals — touching counts
+    (components.py:286-304).
+  * directional operators shrink the probe box by ``tolerance`` capped at
+    half the element's height/width (filtering.py:398,443,495,563,628,686).
+  * every newly created element set re-drops ignored elements
+    (filtering.py:95).
+  * Python ``re.match`` (anchored, not fullmatch) and ``str.strip``
+    (all unicode whitespace) semantics for text ops (filtering.py:198,
+    components.py:318).
+
+An ``Elems`` value is a sorted ``numpy.int64`` array of element indexes —
+the columnar analogue of the reference's ``frozenset[int]``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..errors import (
+    ElementOutOfRangeError,
+    InvalidCoordinatesError,
+    MultipleElementsFoundError,
+    NoElementFoundError,
+    NoElementsOnPageError,
+    PageNotFoundError,
+)
+
+# Ordering presets (components.py:30-43).  Keys are (primary, secondary)
+# sort keys applied per page; stable sort keeps input order for ties.
+ORDER_PRESETS = {
+    "L2R_T2B": lambda x0, y0: (-y0, x0),
+    "R2L_T2B": lambda x0, y0: (-y0, -x0),
+    "T2B_L2R": lambda x0, y0: (x0, -y0),
+    "T2B_R2L": lambda x0, y0: (-x0, -y0),
+}
+
+OrderingSpec = Union[str, Callable[[np.ndarray, np.ndarray], tuple]]
+
+
+class BBox:
+    """Axis-aligned rectangle, y increases upward (common.py:4-57)."""
+
+    __slots__ = ("x0", "x1", "y0", "y1")
+
+    def __init__(self, x0: float, x1: float, y0: float, y1: float):
+        if x1 < x0:
+            raise InvalidCoordinatesError(f"x1 ({x1}) must be >= x0 ({x0})")
+        if y1 < y0:
+            raise InvalidCoordinatesError(f"y1 ({y1}) must be >= y0 ({y0})")
+        self.x0, self.x1, self.y0, self.y1 = x0, x1, y0, y1
+
+    @property
+    def width(self) -> float:
+        return self.x1 - self.x0
+
+    @property
+    def height(self) -> float:
+        return self.y1 - self.y0
+
+    def __repr__(self) -> str:
+        return f"BBox(x0={self.x0}, x1={self.x1}, y0={self.y0}, y1={self.y1})"
+
+
+def _python_format_size(value) -> str:
+    """Format a rounded font size the way the reference's f-string does.
+
+    ``round(10, 1)`` is the int 10 -> "10"; ``round(10.0, 1)`` -> "10.0".
+    """
+    return str(value)
+
+
+class Doc:
+    """One document's elements as parallel numpy arrays, sorted by idx.
+
+    Construction applies per-page ordering and assigns the global ``idx``
+    exactly like ``PDFDocument.__init__`` (components.py:406-438).
+    """
+
+    def __init__(
+        self,
+        doc_id: str,
+        *,
+        page: Sequence[int],
+        x0: Sequence[float],
+        x1: Sequence[float],
+        y0: Sequence[float],
+        y1: Sequence[float],
+        text: Sequence[Optional[str]],
+        kind: Optional[Sequence[str]] = None,
+        media_ref: Optional[Sequence[Optional[str]]] = None,
+        offset: Optional[Sequence[int]] = None,
+        font_name: Optional[Sequence[str]] = None,
+        font_size: Optional[Sequence[float]] = None,
+        page_width: Union[float, Dict[int, float]] = 100.0,
+        page_height: Union[float, Dict[int, float]] = 100.0,
+        font_mapping: Optional[Dict[str, str]] = None,
+        font_mapping_is_regex: bool = False,
+        regex_flags: int = 0,
+        font_size_precision: int = 1,
+        element_ordering: OrderingSpec = "L2R_T2B",
+        all_page_numbers: Optional[Sequence[int]] = None,
+    ):
+        self.doc_id = doc_id
+        n = len(x0)
+        page_arr = np.asarray(page, dtype=np.int64)
+        x0a = np.asarray(x0, dtype=np.float64)
+        x1a = np.asarray(x1, dtype=np.float64)
+        y0a = np.asarray(y0, dtype=np.float64)
+        y1a = np.asarray(y1, dtype=np.float64)
+        if np.any(x1a < x0a) or np.any(y1a < y0a):
+            raise InvalidCoordinatesError(f"doc {doc_id}: box with x1<x0 or y1<y0")
+        offset_arr = (
+            np.arange(n, dtype=np.int64)
+            if offset is None
+            else np.asarray(offset, dtype=np.int64)
+        )
+
+        order = self._order_indexes(page_arr, x0a, y0a, offset_arr, element_ordering)
+
+        self.page = page_arr[order]
+        self.x0 = x0a[order]
+        self.x1 = x1a[order]
+        self.y0 = y0a[order]
+        self.y1 = y1a[order]
+        self.offset = offset_arr[order]
+        text_arr = np.asarray(list(text), dtype=object)
+        self.text_raw = text_arr[order]
+        kind_arr = (
+            np.asarray(["text"] * n, dtype=object)
+            if kind is None
+            else np.asarray(list(kind), dtype=object)
+        )
+        self.kind = kind_arr[order]
+        mr = (
+            np.asarray([None] * n, dtype=object)
+            if media_ref is None
+            else np.asarray(list(media_ref), dtype=object)
+        )
+        self.media_ref = mr[order]
+
+        fn = (
+            np.asarray(["fake_font"] * n, dtype=object)
+            if font_name is None
+            else np.asarray(list(font_name), dtype=object)
+        )
+        self.font_name = fn[order]
+        raw_sizes = [10] * n if font_size is None else list(font_size)
+        raw_sizes = [raw_sizes[i] for i in order]
+        # Python round: half-to-even; int input stays int (load-bearing for
+        # the font string, components.py:208-210,231).
+        rounded = [round(s, font_size_precision) for s in raw_sizes]
+        self.font_size = np.asarray([float(s) for s in rounded], dtype=np.float64)
+        self._font_size_repr = [_python_format_size(s) for s in rounded]
+
+        self.font = self._map_fonts(
+            font_mapping or {}, font_mapping_is_regex, regex_flags
+        )
+
+        self.n = n
+        self.ignored = np.zeros(n, dtype=bool)
+        self.tags: List[set] = [set() for _ in range(n)]
+
+        # Page registry: width/height per page + NoElementsOnPageError for
+        # declared-but-empty pages (components.py:426-429).
+        self._page_width = page_width
+        self._page_height = page_height
+        present = set(int(p) for p in self.page)
+        declared = (
+            set(int(p) for p in all_page_numbers)
+            if all_page_numbers is not None
+            else present
+        )
+        for p in sorted(declared):
+            if p not in present:
+                raise NoElementsOnPageError(
+                    f"No elements on page {p}, please exclude this page"
+                )
+        self.page_numbers = sorted(present)
+
+        # text(stripped=True): Python str.strip (unicode whitespace).
+        self.text_stripped = np.asarray(
+            [t.strip() if isinstance(t, str) else t for t in self.text_raw],
+            dtype=object,
+        )
+
+        from .sections import Sectioning  # local import avoids cycle
+
+        self.sectioning = Sectioning(self)
+
+    # -- construction helpers -------------------------------------------------
+
+    @staticmethod
+    def _order_indexes(page, x0, y0, offset, ordering: OrderingSpec) -> np.ndarray:
+        """Global element order: pages ascending, then per-page preset key,
+        ties broken by input offset (stable, matches Python sorted)."""
+        if callable(ordering):
+            keys = ordering(x0, y0)
+        else:
+            try:
+                keys = ORDER_PRESETS[ordering](x0, y0)
+            except KeyError:
+                raise ValueError(f"unknown element_ordering preset: {ordering}")
+        # np.lexsort: last key is primary.  Page is most significant (pages
+        # ascending), then the per-page key tuple, then input offset (stable).
+        lex_keys = (offset,) + tuple(np.asarray(k) for k in reversed(keys)) + (page,)
+        return np.lexsort(lex_keys)
+
+    def _map_fonts(
+        self, mapping: Dict[str, str], is_regex: bool, flags: int
+    ) -> np.ndarray:
+        """font strings after font_mapping (components.py:213-238)."""
+        raw = np.asarray(
+            [
+                f"{name},{size_repr}"
+                for name, size_repr in zip(self.font_name, self._font_size_repr)
+            ],
+            dtype=object,
+        )
+        if not mapping:
+            return raw
+        out = raw.copy()
+        resolved = np.zeros(len(raw), dtype=bool)
+        if is_regex:
+            # Ordered vectorized passes: one compiled regex per mapping entry,
+            # applied only to not-yet-matched rows (first hit wins).
+            for pattern, mapped in mapping.items():
+                rx = re.compile(pattern, flags)
+                todo = ~resolved
+                if not todo.any():
+                    break
+                hits = np.asarray(
+                    [bool(rx.match(f)) if t else False for f, t in zip(raw, todo)]
+                )
+                out[hits] = mapped
+                resolved |= hits
+        # Exact lookup for unresolved rows; falsy mapped value falls back to
+        # the raw font (``.get(font) or font``, components.py:237).
+        for i in np.nonzero(~resolved)[0]:
+            out[i] = mapping.get(raw[i]) or raw[i]
+        return out
+
+    # -- page info ------------------------------------------------------------
+
+    def page_width(self, page_number: int) -> float:
+        if page_number not in self.page_numbers:
+            raise PageNotFoundError(f"Could not find page {page_number}")
+        if isinstance(self._page_width, dict):
+            return self._page_width[page_number]
+        return self._page_width
+
+    def page_height(self, page_number: int) -> float:
+        if page_number not in self.page_numbers:
+            raise PageNotFoundError(f"Could not find page {page_number}")
+        if isinstance(self._page_height, dict):
+            return self._page_height[page_number]
+        return self._page_height
+
+    # -- element access ---------------------------------------------------
+
+    @property
+    def elements(self) -> "Elems":
+        """All (non-ignored) elements (components.py:444-452)."""
+        return Elems(self, np.arange(self.n, dtype=np.int64))
+
+    def fonts(self) -> set:
+        """Distinct fonts over non-ignored elements (components.py:464-472)."""
+        return set(self.font[~self.ignored])
+
+    def bbox(self, i: int) -> BBox:
+        return BBox(self.x0[i], self.x1[i], self.y0[i], self.y1[i])
+
+    def text_of(self, i: int, stripped: bool = True) -> Optional[str]:
+        return self.text_stripped[i] if stripped else self.text_raw[i]
+
+    def add_tag(self, i: int, tag: str) -> None:
+        self.tags[i].add(tag)
+
+    def ignore(self, i: int) -> None:
+        self.ignored[i] = True
+
+
+class Elems:
+    """Sorted index array over one Doc — the reference's ElementList.
+
+    Newly-ignored elements are dropped at construction (filtering.py:95).
+    Hashable/immutable so table extraction can use sets of rows/columns.
+    """
+
+    __slots__ = ("doc", "idx")
+
+    def __init__(self, doc: Doc, idx: np.ndarray, _presorted: bool = False):
+        arr = np.asarray(idx, dtype=np.int64)
+        if not _presorted:
+            arr = np.unique(arr)
+        live = ~doc.ignored[arr]
+        if not live.all():
+            arr = arr[live]
+        self.doc = doc
+        self.idx = arr
+        self.idx.setflags(write=False)
+
+    # -- internals ----------------------------------------------------------
+
+    def _wrap(self, idx: np.ndarray) -> "Elems":
+        return Elems(self.doc, idx)
+
+    def _mask_to_elems(self, mask_over_self: np.ndarray) -> "Elems":
+        return Elems(self.doc, self.idx[mask_over_self], _presorted=True)
+
+    # -- set protocol (filtering.py:1024-1100) -------------------------------
+
+    def __len__(self) -> int:
+        return len(self.idx)
+
+    def __contains__(self, i: int) -> bool:
+        pos = np.searchsorted(self.idx, i)
+        return pos < len(self.idx) and self.idx[pos] == i
+
+    def __iter__(self):
+        return iter(self.idx.tolist())
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, Elems):
+            raise NotImplementedError(f"Can't compare Elems with {type(other)}")
+        return self.doc is other.doc and np.array_equal(self.idx, other.idx)
+
+    def __hash__(self) -> int:
+        return hash((id(self.doc), self.idx.tobytes()))
+
+    def __or__(self, other: "Elems") -> "Elems":
+        return self._wrap(np.union1d(self.idx, other.idx))
+
+    def __and__(self, other: "Elems") -> "Elems":
+        return self._wrap(np.intersect1d(self.idx, other.idx))
+
+    def __sub__(self, other: "Elems") -> "Elems":
+        return self._wrap(np.setdiff1d(self.idx, other.idx))
+
+    def __xor__(self, other: "Elems") -> "Elems":
+        return self._wrap(np.setxor1d(self.idx, other.idx))
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            return self._wrap(self.idx[key])
+        return int(self.idx[key])  # IndexError propagates like the reference
+
+    def add_element(self, i: int) -> "Elems":
+        return self._wrap(np.append(self.idx, i))
+
+    def add_elements(self, *indexes: int) -> "Elems":
+        return self._wrap(np.append(self.idx, np.asarray(indexes, dtype=np.int64)))
+
+    def remove_element(self, i: int) -> "Elems":
+        return self._mask_to_elems(self.idx != i)
+
+    def remove_elements(self, *indexes: int) -> "Elems":
+        return self._mask_to_elems(~np.isin(self.idx, list(indexes)))
+
+    # -- scalar extraction (filtering.py:789-811,980-1010) -------------------
+
+    def first(self) -> int:
+        if len(self.idx) == 0:
+            raise NoElementFoundError("There are no elements in the ElementList")
+        return int(self.idx[0])
+
+    def last(self) -> int:
+        if len(self.idx) == 0:
+            raise NoElementFoundError("There are no elements in the ElementList")
+        return int(self.idx[-1])
+
+    def extract_single_element(self) -> int:
+        if len(self.idx) == 0:
+            raise NoElementFoundError("There are no elements in the ElementList")
+        if len(self.idx) > 1:
+            raise MultipleElementsFoundError(
+                f"There are {len(self.idx)} elements in the ElementList"
+            )
+        return int(self.idx[0])
+
+    # -- tag / ignore bulk ops (filtering.py:97-105,358-364) -----------------
+
+    def add_tag_to_elements(self, tag: str) -> None:
+        for i in self.idx:
+            self.doc.tags[i].add(tag)
+
+    def ignore_elements(self) -> None:
+        self.doc.ignored[self.idx] = True
+
+    # -- text / font / page filters (filtering.py:107-269) -------------------
+
+    def filter(self, predicate: Callable[[int], bool]) -> "Elems":
+        mask = np.asarray([bool(predicate(int(i))) for i in self.idx], dtype=bool)
+        return self._mask_to_elems(mask)
+
+    def _texts(self, stripped: bool = True) -> np.ndarray:
+        src = self.doc.text_stripped if stripped else self.doc.text_raw
+        return src[self.idx]
+
+    def filter_by_text_equal(self, text: str, stripped: bool = True) -> "Elems":
+        mask = np.asarray([t == text for t in self._texts(stripped)], dtype=bool)
+        return self._mask_to_elems(mask)
+
+    def filter_by_text_contains(self, text: str) -> "Elems":
+        mask = np.asarray(
+            [isinstance(t, str) and text in t for t in self._texts(True)], dtype=bool
+        )
+        return self._mask_to_elems(mask)
+
+    def filter_by_regex(
+        self, regex: str, regex_flags: int = 0, stripped: bool = True
+    ) -> "Elems":
+        rx = re.compile(regex, regex_flags)  # re.match semantics: anchored start
+        mask = np.asarray(
+            [isinstance(t, str) and bool(rx.match(t)) for t in self._texts(stripped)],
+            dtype=bool,
+        )
+        return self._mask_to_elems(mask)
+
+    def filter_by_tag(self, tag: str) -> "Elems":
+        mask = np.asarray([tag in self.doc.tags[i] for i in self.idx], dtype=bool)
+        return self._mask_to_elems(mask)
+
+    def filter_by_tags(self, *tags: str) -> "Elems":
+        tagset = set(tags)
+        mask = np.asarray(
+            [bool(tagset & self.doc.tags[i]) for i in self.idx], dtype=bool
+        )
+        return self._mask_to_elems(mask)
+
+    def filter_by_font(self, font: str) -> "Elems":
+        return self.filter_by_fonts(font)
+
+    def filter_by_fonts(self, *fonts: str) -> "Elems":
+        mask = np.isin(self.doc.font[self.idx], list(fonts))
+        return self._mask_to_elems(mask)
+
+    def filter_by_font_size(self, font_size: float) -> "Elems":
+        mask = self.doc.font_size[self.idx] == font_size
+        return self._mask_to_elems(mask)
+
+    def filter_by_page(self, page_number: int) -> "Elems":
+        if page_number not in self.doc.page_numbers:
+            raise PageNotFoundError(f"Could not find page {page_number}")
+        mask = self.doc.page[self.idx] == page_number
+        return self._mask_to_elems(mask)
+
+    def filter_by_pages(self, *page_numbers: int) -> "Elems":
+        for p in page_numbers:
+            if p not in self.doc.page_numbers:
+                raise PageNotFoundError(f"Could not find page {p}")
+        mask = np.isin(self.doc.page[self.idx], list(page_numbers))
+        return self._mask_to_elems(mask)
+
+    def filter_by_section_name(self, name: str) -> "Elems":
+        acc = np.empty(0, dtype=np.int64)
+        for section in self.doc.sectioning.get_sections_with_name(name):
+            acc = np.union1d(acc, section.elements().idx)
+        return self._wrap(np.intersect1d(self.idx, acc))
+
+    def filter_by_section_names(self, *names: str) -> "Elems":
+        acc = np.empty(0, dtype=np.int64)
+        for name in names:
+            for section in self.doc.sectioning.get_sections_with_name(name):
+                acc = np.union1d(acc, section.elements().idx)
+        return self._wrap(np.intersect1d(self.idx, acc))
+
+    def filter_by_section(self, unique_name: str) -> "Elems":
+        section = self.doc.sectioning.sections_dict.get(unique_name)
+        if section is None:
+            return self._wrap(np.empty(0, dtype=np.int64))
+        return self._wrap(np.intersect1d(self.idx, section.elements().idx))
+
+    def filter_by_sections(self, *unique_names: str) -> "Elems":
+        acc = np.empty(0, dtype=np.int64)
+        for unique_name in unique_names:
+            section = self.doc.sectioning.sections_dict.get(unique_name)
+            if section is not None:
+                acc = np.union1d(acc, section.elements().idx)
+        return self._wrap(np.intersect1d(self.idx, acc))
+
+    def filter_out_header(self, bottom_of_header_y: float) -> "Elems":
+        return self._mask_to_elems(self.doc.y0[self.idx] < bottom_of_header_y)
+
+    def filter_out_footer(self, top_of_footer_y: float) -> "Elems":
+        return self._mask_to_elems(self.doc.y1[self.idx] > top_of_footer_y)
+
+    # -- geometry (components.py:256-304, filtering.py:698-715) --------------
+
+    def filter_partially_within_bounding_box(
+        self, box: BBox, page_number: int
+    ) -> "Elems":
+        d = self.doc
+        ii = self.idx
+        mask = (
+            (d.page[ii] == page_number)
+            & (box.x0 <= d.x1[ii])
+            & (box.x1 >= d.x0[ii])
+            & (box.y0 <= d.y1[ii])
+            & (box.y1 >= d.y0[ii])
+        )
+        return self._mask_to_elems(mask)
+
+    def filter_entirely_within_bounding_box(
+        self, box: BBox, page_number: int
+    ) -> "Elems":
+        d = self.doc
+        ii = self.idx
+        mask = (
+            (d.page[ii] == page_number)
+            & (d.x0[ii] >= box.x0)
+            & (d.x1[ii] <= box.x1)
+            & (d.y0[ii] >= box.y0)
+            & (d.y1[ii] <= box.y1)
+        )
+        return self._mask_to_elems(mask)
+
+    # -- directional operators (filtering.py:366-696) -------------------------
+
+    def to_the_right_of(
+        self, i: int, inclusive: bool = False, tolerance: float = 0.0
+    ) -> "Elems":
+        d = self.doc
+        p = int(d.page[i])
+        tolerance = min((d.y1[i] - d.y0[i]) / 2, tolerance)
+        box = BBox(d.x1[i], d.page_width(p), d.y0[i] + tolerance, d.y1[i] - tolerance)
+        out = self.filter_partially_within_bounding_box(box, p)
+        return out if inclusive else out.remove_element(i)
+
+    def to_the_left_of(
+        self, i: int, inclusive: bool = False, tolerance: float = 0.0
+    ) -> "Elems":
+        d = self.doc
+        p = int(d.page[i])
+        tolerance = min((d.y1[i] - d.y0[i]) / 2, tolerance)
+        box = BBox(0, d.x0[i], d.y0[i] + tolerance, d.y1[i] - tolerance)
+        out = self.filter_partially_within_bounding_box(box, p)
+        return out if inclusive else out.remove_element(i)
+
+    def below(
+        self,
+        i: int,
+        inclusive: bool = False,
+        all_pages: bool = False,
+        tolerance: float = 0.0,
+    ) -> "Elems":
+        d = self.doc
+        p = int(d.page[i])
+        tolerance = min((d.x1[i] - d.x0[i]) / 2, tolerance)
+        box = BBox(d.x0[i] + tolerance, d.x1[i] - tolerance, 0, d.y0[i])
+        out = self.filter_partially_within_bounding_box(box, p)
+        if all_pages:
+            for q in d.page_numbers:
+                if q <= p:
+                    continue
+                box_q = BBox(
+                    d.x0[i] + tolerance, d.x1[i] - tolerance, 0, d.page_height(q)
+                )
+                out = out | self.filter_partially_within_bounding_box(box_q, q)
+        return out if inclusive else out.remove_element(i)
+
+    def above(
+        self,
+        i: int,
+        inclusive: bool = False,
+        all_pages: bool = False,
+        tolerance: float = 0.0,
+    ) -> "Elems":
+        d = self.doc
+        p = int(d.page[i])
+        tolerance = min((d.x1[i] - d.x0[i]) / 2, tolerance)
+        box = BBox(
+            d.x0[i] + tolerance, d.x1[i] - tolerance, d.y1[i], d.page_height(p)
+        )
+        out = self.filter_partially_within_bounding_box(box, p)
+        if all_pages:
+            for q in d.page_numbers:
+                if q >= p:
+                    continue
+                box_q = BBox(
+                    d.x0[i] + tolerance, d.x1[i] - tolerance, 0, d.page_height(q)
+                )
+                out = out | self.filter_partially_within_bounding_box(box_q, q)
+        return out if inclusive else out.remove_element(i)
+
+    def vertically_in_line_with(
+        self,
+        i: int,
+        inclusive: bool = False,
+        all_pages: bool = False,
+        tolerance: float = 0.0,
+    ) -> "Elems":
+        d = self.doc
+        p = int(d.page[i])
+        tolerance = min((d.x1[i] - d.x0[i]) / 2, tolerance)
+        box = BBox(d.x0[i] + tolerance, d.x1[i] - tolerance, 0, d.page_height(p))
+        out = self.filter_partially_within_bounding_box(box, p)
+        if all_pages and len(self.idx):
+            # Page range bounded by this list's own first/last element
+            # (filtering.py:637-650).
+            first_p = int(d.page[self.idx[0]])
+            last_p = int(d.page[self.idx[-1]])
+            for q in range(first_p, last_p + 1):
+                if q == p or q not in d.page_numbers:
+                    continue
+                box_q = BBox(
+                    d.x0[i] + tolerance, d.x1[i] - tolerance, 0, d.page_height(q)
+                )
+                out = out | self.filter_partially_within_bounding_box(box_q, q)
+        return out if inclusive else out.remove_element(i)
+
+    def horizontally_in_line_with(
+        self, i: int, inclusive: bool = False, tolerance: float = 0.0
+    ) -> "Elems":
+        d = self.doc
+        p = int(d.page[i])
+        tolerance = min((d.y1[i] - d.y0[i]) / 2, tolerance)
+        box = BBox(0, d.page_width(p), d.y0[i] + tolerance, d.y1[i] - tolerance)
+        out = self.filter_partially_within_bounding_box(box, p)
+        return out if inclusive else out.remove_element(i)
+
+    # -- order-based operators (filtering.py:717-942) -------------------------
+
+    def before(self, i: int, inclusive: bool = False) -> "Elems":
+        mask = self.idx < i
+        if inclusive:
+            mask = mask | (self.idx == i)
+        return self._mask_to_elems(mask)
+
+    def after(self, i: int, inclusive: bool = False) -> "Elems":
+        mask = self.idx > i
+        if inclusive:
+            mask = mask | (self.idx == i)
+        return self._mask_to_elems(mask)
+
+    def between(self, start: int, end: int, inclusive: bool = False) -> "Elems":
+        if inclusive:
+            mask = (self.idx >= start) & (self.idx <= end)
+        else:
+            mask = (self.idx > start) & (self.idx < end)
+        return self._mask_to_elems(mask)
+
+    def move_forwards_from(self, i: int, count: int = 1, capped: bool = False) -> int:
+        pos = np.searchsorted(self.idx, i)
+        if pos >= len(self.idx) or self.idx[pos] != i:
+            raise NoElementFoundError(f"element {i} is not in the list")
+        new_pos = int(pos) + count
+        if new_pos < 0 or new_pos >= len(self.idx):
+            if capped:
+                new_pos = max(min(new_pos, len(self.idx) - 1), 0)
+                return int(self.idx[new_pos])
+            raise ElementOutOfRangeError(
+                f"Requested element is {'before' if new_pos < 0 else 'after'} the "
+                f"{'start' if new_pos < 0 else 'end'} of the ElementList"
+            )
+        return int(self.idx[new_pos])
+
+    def move_backwards_from(self, i: int, count: int = 1, capped: bool = False) -> int:
+        return self.move_forwards_from(i, count=-count, capped=capped)
+
+    # -- convenience -----------------------------------------------------------
+
+    def texts(self, stripped: bool = True) -> List[Optional[str]]:
+        return list(self._texts(stripped))

@@ -1,0 +1,67 @@
+"""spans -> Doc: the per-document parse step.
+
+The distributed analogue of the reference's ``load()`` (loaders.py:44-102):
+the document's span stream becomes ordered, classified elements.  Runs
+inside ``mapInPandas`` over Arrow batches (see ``pipeline.py``); this module
+is pure numpy/pandas and unit-testable without Spark.
+
+Text spans become text elements; media spans become pass-through media
+elements (the ``la_params={"all_texts": True}`` analogue, loaders.py:80-86)
+which are ordered by the same geometric key but ignored by text filters.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping, Optional, Sequence, Union
+
+import numpy as np
+
+from .doc import Doc
+from .layout import config_for, layout_for
+
+
+def doc_from_spans(
+    doc_id: str,
+    spans: Iterable[Union[Mapping, Sequence]],
+    config: Optional[dict] = None,
+) -> Doc:
+    """Build an ordered Doc from one input row's spans array.
+
+    ``spans`` items are (kind, text, media_ref, offset) structs — dicts or
+    sequences in that field order.
+    """
+    kinds, texts, refs, offsets = [], [], [], []
+    for s in spans:
+        if isinstance(s, Mapping):
+            kinds.append(s["kind"])
+            texts.append(s["text"])
+            refs.append(s["media_ref"])
+            offsets.append(s["offset"])
+        else:
+            k, t, m, o = s
+            kinds.append(k)
+            texts.append(t)
+            refs.append(m)
+            offsets.append(o)
+    offsets_arr = np.asarray(offsets, dtype=np.int64)
+    layout = layout_for(doc_id, offsets_arr)
+    cfg = dict(config_for(doc_id))
+    if config:
+        cfg.update(config)
+    return Doc(
+        doc_id,
+        page=layout["page"],
+        x0=layout["x0"],
+        x1=layout["x1"],
+        y0=layout["y0"],
+        y1=layout["y1"],
+        text=texts,
+        kind=kinds,
+        media_ref=refs,
+        offset=offsets_arr,
+        font_name=layout["font_name"],
+        font_size=layout["font_size"],
+        page_width=layout["page_width"],
+        page_height=layout["page_height"],
+        **cfg,
+    )

@@ -1,0 +1,225 @@
+"""Doc construction: ordering, fonts, geometry predicates, page errors.
+
+Expected values derive from the reference's test suite:
+tests/test_components.py (ordering :290-341, geometry ddt :135-187),
+tests/test_filtering.py, components.py:213-238 (font mapping).
+"""
+
+import numpy as np
+import pytest
+
+from py_pdf_parser_spark.errors import (
+    InvalidCoordinatesError,
+    NoElementsOnPageError,
+    PageNotFoundError,
+)
+from py_pdf_parser_spark.kernel.doc import BBox, Doc
+
+from .utils import make_doc, make_element
+
+GRID = [
+    make_element(box=(0, 5, 6, 10), text="one"),
+    make_element(box=(6, 10, 6, 10), text="two"),
+    make_element(box=(0, 5, 0, 5), text="three"),
+    make_element(box=(6, 10, 0, 5), text="four"),
+]
+
+
+def texts(doc):
+    return [doc.text_of(i) for i in doc.elements]
+
+
+class TestOrdering:
+    def test_left_to_right_top_to_bottom(self):
+        doc = make_doc(GRID)  # default preset
+        assert texts(doc) == ["one", "two", "three", "four"]
+
+    def test_right_to_left_top_to_bottom(self):
+        doc = make_doc(GRID, element_ordering="R2L_T2B")
+        assert texts(doc) == ["two", "one", "four", "three"]
+
+    def test_top_to_bottom_left_to_right(self):
+        doc = make_doc(GRID, element_ordering="T2B_L2R")
+        assert texts(doc) == ["one", "three", "two", "four"]
+
+    def test_top_to_bottom_right_to_left(self):
+        doc = make_doc(GRID, element_ordering="T2B_R2L")
+        assert texts(doc) == ["two", "four", "one", "three"]
+
+    def test_custom_ordering_two_columns(self):
+        # Column split at x=50: everything left column first (top-down),
+        # then right column (reference test_element_ordering.py:58-99).
+        elems = [
+            make_element(box=(0, 10, 90, 95), text="L1"),
+            make_element(box=(60, 70, 90, 95), text="R1"),
+            make_element(box=(0, 10, 80, 85), text="L2"),
+            make_element(box=(60, 70, 80, 85), text="R2"),
+        ]
+        ordering = lambda x0, y0: (x0 >= 50, -y0, x0)
+        doc = make_doc(elems, element_ordering=ordering)
+        assert texts(doc) == ["L1", "L2", "R1", "R2"]
+
+    def test_multi_page_order_and_stable_ties(self):
+        # Identical boxes keep input (offset) order; pages ascending first.
+        doc = make_doc(
+            {
+                2: [make_element(text="p2a"), make_element(text="p2b")],
+                1: [make_element(text="p1a"), make_element(text="p1b")],
+            }
+        )
+        assert texts(doc) == ["p1a", "p1b", "p2a", "p2b"]
+        assert doc.page.tolist() == [1, 1, 2, 2]
+
+
+class TestFonts:
+    def test_font_string_int_size(self):
+        doc = make_doc([make_element(font_name="foo", font_size=10)])
+        assert doc.font[0] == "foo,10"
+
+    def test_font_string_float_size(self):
+        doc = make_doc([make_element(font_name="foo", font_size=10.0)])
+        assert doc.font[0] == "foo,10.0"
+
+    def test_font_size_precision_python_round(self):
+        # Python round: 2.25 -> 2.2 (half-to-even on the binary value).
+        doc = make_doc(
+            [make_element(font_size=2.25)], font_size_precision=1
+        )
+        assert doc.font_size[0] == round(2.25, 1)
+        # round(x, 0) returns a float (7.0), unlike round(x) — the reference
+        # passes precision explicitly (components.py:208-210), so "7.0".
+        doc0 = make_doc([make_element(font_size=6.83)], font_size_precision=0)
+        assert doc0.font[0] == "fake_font,7.0"
+
+    def test_font_mapping_exact(self):
+        doc = make_doc(
+            [make_element(font_name="foo", font_size=2),
+             make_element(font_name="bar", font_size=3)],
+            font_mapping={"foo,2": "font_a"},
+        )
+        assert doc.font[0] == "font_a"
+        assert doc.font[1] == "bar,3"
+
+    def test_font_mapping_falsy_value_falls_back(self):
+        # `.get(font) or font` — components.py:237.
+        doc = make_doc(
+            [make_element(font_name="foo", font_size=2)],
+            font_mapping={"foo,2": ""},
+        )
+        assert doc.font[0] == "foo,2"
+
+    def test_font_mapping_regex(self):
+        doc = make_doc(
+            [
+                make_element(font_name="fake_font_1", font_size=10),
+                make_element(font_name="other", font_size=10),
+            ],
+            font_mapping={r"^fake_font_\d,10$": "large_text"},
+            font_mapping_is_regex=True,
+        )
+        assert doc.font[0] == "large_text"
+        assert doc.font[1] == "other,10"
+
+    def test_font_mapping_regex_flags(self):
+        import re
+
+        doc = make_doc(
+            [make_element(font_name="FAKE_font_1", font_size=10)],
+            font_mapping={r"^fake_font_\d,10$": "large_text"},
+            font_mapping_is_regex=True,
+            regex_flags=re.IGNORECASE,
+        )
+        assert doc.font[0] == "large_text"
+
+    def test_font_mapping_regex_insertion_order_first_wins(self):
+        doc = make_doc(
+            [make_element(font_name="abc", font_size=1)],
+            font_mapping={"^a": "first", "^ab": "second"},
+            font_mapping_is_regex=True,
+        )
+        assert doc.font[0] == "first"
+
+    def test_regex_mode_exact_fallthrough(self):
+        # Non-matching regex still falls through to exact .get lookup.
+        doc = make_doc(
+            [make_element(font_name="zed", font_size=1)],
+            font_mapping={"^nomatch$": "x", "zed,1": "mapped"},
+            font_mapping_is_regex=True,
+        )
+        assert doc.font[0] == "mapped"
+
+    def test_fonts_distinct(self):
+        doc = make_doc(
+            [
+                make_element(font_name="a", font_size=1),
+                make_element(font_name="a", font_size=1),
+                make_element(font_name="b", font_size=2),
+            ]
+        )
+        assert doc.fonts() == {"a,1", "b,2"}
+
+
+# Geometry truth table: element (2,5,2,5) vs probe boxes — reference
+# ddt cases tests/test_components.py:135-187; closed intervals, touching
+# counts.
+PARTIALLY_WITHIN_CASES = [
+    ((0, 10, 0, 10), True),   # fully inside probe
+    ((3, 4, 3, 4), True),     # probe inside element
+    ((0, 2, 0, 2), True),     # touching corner counts
+    ((5, 10, 5, 10), True),   # touching other corner
+    ((0, 1.9, 0, 10), False),  # left of element
+    ((5.1, 10, 0, 10), False),  # right of element
+    ((0, 10, 0, 1.9), False),  # below
+    ((0, 10, 5.1, 10), False),  # above
+    ((2, 5, 2, 5), True),     # exact
+]
+
+ENTIRELY_WITHIN_CASES = [
+    ((0, 10, 0, 10), True),
+    ((2, 5, 2, 5), True),      # exact bounds count
+    ((2.1, 5, 2, 5), False),
+    ((2, 4.9, 2, 5), False),
+    ((3, 4, 3, 4), False),
+]
+
+
+class TestGeometry:
+    @pytest.mark.parametrize("box,expected", PARTIALLY_WITHIN_CASES)
+    def test_partially_within(self, box, expected):
+        doc = make_doc([make_element(box=(2, 5, 2, 5))])
+        got = doc.elements.filter_partially_within_bounding_box(BBox(*box), 1)
+        assert (len(got) == 1) is expected
+
+    @pytest.mark.parametrize("box,expected", ENTIRELY_WITHIN_CASES)
+    def test_entirely_within(self, box, expected):
+        doc = make_doc([make_element(box=(2, 5, 2, 5))])
+        got = doc.elements.filter_entirely_within_bounding_box(BBox(*box), 1)
+        assert (len(got) == 1) is expected
+
+    def test_invalid_bbox(self):
+        with pytest.raises(InvalidCoordinatesError):
+            BBox(5, 2, 0, 1)
+        with pytest.raises(InvalidCoordinatesError):
+            make_doc([make_element(box=(0, 1, 5, 2))])
+
+
+class TestPages:
+    def test_no_elements_on_page_error(self):
+        with pytest.raises(NoElementsOnPageError):
+            Doc(
+                "t-000000",
+                page=[1],
+                x0=[0], x1=[1], y0=[0], y1=[1],
+                text=["a"],
+                all_page_numbers=[1, 2],
+            )
+
+    def test_page_not_found(self):
+        doc = make_doc([make_element()])
+        with pytest.raises(PageNotFoundError):
+            doc.elements.filter_by_page(7)
+
+    def test_page_dims(self):
+        doc = make_doc([make_element()])
+        assert doc.page_width(1) == 100.0
+        assert doc.page_height(1) == 100.0
