@@ -1,0 +1,336 @@
+"""ElementFrame — the ElementList API re-expressed at DataFrame level.
+
+Where the kernel (``kernel/doc.py``) executes a whole recipe per document
+inside one Arrow batch, ``ElementFrame`` expresses the same operators as
+Spark Column expressions and broadcast anchor-joins over the exploded
+``elements`` table — fully visible to Catalyst (predicate pushdown, column
+pruning, whole-stage codegen), shuffle-free except where set algebra
+genuinely requires it.
+
+Anchor-relative operators (``to_the_right_of``, ``before`` …) take an
+*anchor frame*: per-document anchor rows (typically one per doc, selected
+with a filter).  Anchors are broadcast — at 10^12-doc scale the anchor
+side is ~one row per document of the filtered subset, orders of magnitude
+smaller than the elements fact table, so the join is map-side.
+
+Exactness note (SURVEY.md §7 hard parts): ``filter_by_regex`` uses a
+vectorized pandas UDF running Python ``re.match`` — Spark's ``rlike`` is
+Java-regex and unanchored, which is a semantic near-miss, not a match.
+``text`` in the elements table is already Python-``str.strip``-ed at parse
+time (components.py:306-318 semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+_ANCHOR_COLS = ["idx", "page_number", "x0", "x1", "y0", "y1",
+                "page_width", "page_height"]
+
+
+def _as_anchor(df: DataFrame) -> DataFrame:
+    """Rename an element row-set to anchor column names (a_*)."""
+    out = df.select(
+        "doc_id", *[F.col(c).alias(f"a_{c}") for c in _ANCHOR_COLS]
+    )
+    return out
+
+
+class ElementFrame:
+    """Immutable fluent wrapper over the exploded elements DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    @classmethod
+    def from_documents(cls, docs_df: DataFrame) -> "ElementFrame":
+        from .pipeline import parse_elements
+
+        return cls(parse_elements(docs_df))
+
+    def _with(self, df: DataFrame) -> "ElementFrame":
+        return ElementFrame(df)
+
+    def where(self, cond: Column) -> "ElementFrame":
+        return self._with(self.df.where(cond))
+
+    # -- text filters (filtering.py:148-201) ---------------------------------
+
+    def filter_by_text_equal(self, text: str) -> "ElementFrame":
+        return self.where(F.col("text") == F.lit(text))
+
+    def filter_by_text_contains(self, text: str) -> "ElementFrame":
+        return self.where(F.col("text").contains(text))
+
+    def filter_by_regex(self, regex: str, regex_flags: int = 0) -> "ElementFrame":
+        @pandas_udf("boolean")
+        def matches(s: pd.Series) -> pd.Series:
+            rx = re.compile(regex, regex_flags)
+            return s.map(lambda t: isinstance(t, str) and bool(rx.match(t)))
+
+        return self.where(matches(F.col("text")))
+
+    # -- font / page filters (filtering.py:203-269) ---------------------------
+
+    def filter_by_font(self, font: str) -> "ElementFrame":
+        return self.where(F.col("font") == font)
+
+    def filter_by_fonts(self, *fonts: str) -> "ElementFrame":
+        return self.where(F.col("font").isin(list(fonts)))
+
+    def filter_by_font_size(self, size: float) -> "ElementFrame":
+        return self.where(F.col("font_size") == size)
+
+    def filter_by_page(self, page: int) -> "ElementFrame":
+        return self.where(F.col("page_number") == page)
+
+    def filter_by_pages(self, *pages: int) -> "ElementFrame":
+        return self.where(F.col("page_number").isin(list(pages)))
+
+    def filter_by_kind(self, kind: str) -> "ElementFrame":
+        return self.where(F.col("kind") == kind)
+
+    def filter_out_header(self, y: float) -> "ElementFrame":
+        return self.where(F.col("y0") < y)
+
+    def filter_out_footer(self, y: float) -> "ElementFrame":
+        return self.where(F.col("y1") > y)
+
+    def filter_by_tag(self, tag: str) -> "ElementFrame":
+        return self.where(F.array_contains(F.col("tags"), tag))
+
+    def filter_by_tags(self, *tags: str) -> "ElementFrame":
+        return self.where(
+            F.arrays_overlap(F.col("tags"), F.array(*[F.lit(t) for t in tags]))
+        )
+
+    def add_tag(self, tag: str) -> "ElementFrame":
+        """Immutable analogue of add_tag_to_elements (filtering.py:97-105)."""
+        return self._with(
+            self.df.withColumn(
+                "tags", F.array_union(F.col("tags"), F.array(F.lit(tag)))
+            )
+        )
+
+    # -- geometry ------------------------------------------------------------
+
+    def filter_partially_within(
+        self, x0: float, x1: float, y0: float, y1: float, page: int
+    ) -> "ElementFrame":
+        """Closed-interval overlap — touching counts (components.py:286-304)."""
+        return self.where(
+            (F.col("page_number") == page)
+            & (F.lit(x0) <= F.col("x1"))
+            & (F.lit(x1) >= F.col("x0"))
+            & (F.lit(y0) <= F.col("y1"))
+            & (F.lit(y1) >= F.col("y0"))
+        )
+
+    def filter_entirely_within(
+        self, x0: float, x1: float, y0: float, y1: float, page: int
+    ) -> "ElementFrame":
+        return self.where(
+            (F.col("page_number") == page)
+            & (F.col("x0") >= x0)
+            & (F.col("x1") <= x1)
+            & (F.col("y0") >= y0)
+            & (F.col("y1") <= y1)
+        )
+
+    # -- anchor-relative directional joins (filtering.py:366-696) -------------
+
+    def _anchor_join(
+        self, anchors: "ElementFrame", cond: Column, inclusive: bool
+    ) -> "ElementFrame":
+        a = F.broadcast(_as_anchor(anchors.df))
+        joined = self.df.join(a, on="doc_id", how="inner")
+        if not inclusive:
+            cond = cond & (F.col("idx") != F.col("a_idx"))
+        out = joined.where(cond).drop(*[f"a_{c}" for c in _ANCHOR_COLS])
+        return self._with(out)
+
+    @staticmethod
+    def _tol_y() -> Column:
+        return F.least(
+            (F.col("a_y1") - F.col("a_y0")) / 2, F.col("_tolerance")
+        )
+
+    def to_the_right_of(
+        self, anchors: "ElementFrame", inclusive: bool = False,
+        tolerance: float = 0.0,
+    ) -> "ElementFrame":
+        tol = F.least(F.lit(float(tolerance)), (F.col("a_y1") - F.col("a_y0")) / 2)
+        cond = (
+            (F.col("page_number") == F.col("a_page_number"))
+            & (F.col("a_x1") <= F.col("x1"))
+            & (F.col("a_page_width") >= F.col("x0"))
+            & (F.col("a_y0") + tol <= F.col("y1"))
+            & (F.col("a_y1") - tol >= F.col("y0"))
+        )
+        return self._anchor_join(anchors, cond, inclusive)
+
+    def to_the_left_of(
+        self, anchors: "ElementFrame", inclusive: bool = False,
+        tolerance: float = 0.0,
+    ) -> "ElementFrame":
+        tol = F.least(F.lit(float(tolerance)), (F.col("a_y1") - F.col("a_y0")) / 2)
+        cond = (
+            (F.col("page_number") == F.col("a_page_number"))
+            & (F.lit(0.0) <= F.col("x1"))
+            & (F.col("a_x0") >= F.col("x0"))
+            & (F.col("a_y0") + tol <= F.col("y1"))
+            & (F.col("a_y1") - tol >= F.col("y0"))
+        )
+        return self._anchor_join(anchors, cond, inclusive)
+
+    def below(
+        self, anchors: "ElementFrame", inclusive: bool = False,
+        all_pages: bool = False, tolerance: float = 0.0,
+    ) -> "ElementFrame":
+        tol = F.least(F.lit(float(tolerance)), (F.col("a_x1") - F.col("a_x0")) / 2)
+        x_overlap = (F.col("a_x0") + tol <= F.col("x1")) & (
+            F.col("a_x1") - tol >= F.col("x0")
+        )
+        same_page = (
+            (F.col("page_number") == F.col("a_page_number"))
+            & (F.col("a_y0") >= F.col("y0"))
+        )
+        cond = same_page
+        if all_pages:
+            cond = cond | (F.col("page_number") > F.col("a_page_number"))
+        return self._anchor_join(anchors, x_overlap & cond, inclusive)
+
+    def above(
+        self, anchors: "ElementFrame", inclusive: bool = False,
+        all_pages: bool = False, tolerance: float = 0.0,
+    ) -> "ElementFrame":
+        tol = F.least(F.lit(float(tolerance)), (F.col("a_x1") - F.col("a_x0")) / 2)
+        x_overlap = (F.col("a_x0") + tol <= F.col("x1")) & (
+            F.col("a_x1") - tol >= F.col("x0")
+        )
+        same_page = (
+            (F.col("page_number") == F.col("a_page_number"))
+            & (F.col("a_y1") <= F.col("y1"))
+        )
+        cond = same_page
+        if all_pages:
+            cond = cond | (F.col("page_number") < F.col("a_page_number"))
+        return self._anchor_join(anchors, x_overlap & cond, inclusive)
+
+    def vertically_in_line_with(
+        self, anchors: "ElementFrame", inclusive: bool = False,
+        all_pages: bool = False, tolerance: float = 0.0,
+    ) -> "ElementFrame":
+        tol = F.least(F.lit(float(tolerance)), (F.col("a_x1") - F.col("a_x0")) / 2)
+        x_overlap = (F.col("a_x0") + tol <= F.col("x1")) & (
+            F.col("a_x1") - tol >= F.col("x0")
+        )
+        cond = x_overlap
+        if not all_pages:
+            cond = cond & (F.col("page_number") == F.col("a_page_number"))
+        return self._anchor_join(anchors, cond, inclusive)
+
+    def horizontally_in_line_with(
+        self, anchors: "ElementFrame", inclusive: bool = False,
+        tolerance: float = 0.0,
+    ) -> "ElementFrame":
+        tol = F.least(F.lit(float(tolerance)), (F.col("a_y1") - F.col("a_y0")) / 2)
+        cond = (
+            (F.col("page_number") == F.col("a_page_number"))
+            & (F.col("a_y0") + tol <= F.col("y1"))
+            & (F.col("a_y1") - tol >= F.col("y0"))
+        )
+        return self._anchor_join(anchors, cond, inclusive)
+
+    # -- order ops (filtering.py:717-787) -------------------------------------
+
+    def before(self, anchors: "ElementFrame", inclusive: bool = False) -> "ElementFrame":
+        op = F.col("idx") <= F.col("a_idx") if inclusive else F.col("idx") < F.col("a_idx")
+        a = F.broadcast(anchors.df.select("doc_id", F.col("idx").alias("a_idx")))
+        return self._with(
+            self.df.join(a, on="doc_id").where(op).drop("a_idx")
+        )
+
+    def after(self, anchors: "ElementFrame", inclusive: bool = False) -> "ElementFrame":
+        op = F.col("idx") >= F.col("a_idx") if inclusive else F.col("idx") > F.col("a_idx")
+        a = F.broadcast(anchors.df.select("doc_id", F.col("idx").alias("a_idx")))
+        return self._with(
+            self.df.join(a, on="doc_id").where(op).drop("a_idx")
+        )
+
+    def between(
+        self, start: "ElementFrame", end: "ElementFrame", inclusive: bool = False
+    ) -> "ElementFrame":
+        s = F.broadcast(start.df.select("doc_id", F.col("idx").alias("s_idx")))
+        e = F.broadcast(end.df.select("doc_id", F.col("idx").alias("e_idx")))
+        joined = self.df.join(s, on="doc_id").join(e, on="doc_id")
+        if inclusive:
+            cond = (F.col("idx") >= F.col("s_idx")) & (F.col("idx") <= F.col("e_idx"))
+        else:
+            cond = (F.col("idx") > F.col("s_idx")) & (F.col("idx") < F.col("e_idx"))
+        return self._with(joined.where(cond).drop("s_idx", "e_idx"))
+
+    # -- per-doc order extrema: window ops (SURVEY.md §2.10 windows) ----------
+
+    def first_per_doc(self) -> "ElementFrame":
+        w = Window.partitionBy("doc_id").orderBy(F.col("idx").asc())
+        return self._with(
+            self.df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def last_per_doc(self) -> "ElementFrame":
+        w = Window.partitionBy("doc_id").orderBy(F.col("idx").desc())
+        return self._with(
+            self.df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def nth_per_doc(self, n: int) -> "ElementFrame":
+        """0-based __getitem__ analogue (filtering.py:1041-1053)."""
+        w = Window.partitionBy("doc_id").orderBy(F.col("idx").asc())
+        return self._with(
+            self.df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == n + 1)
+            .drop("_rn")
+        )
+
+    # -- set algebra on (doc_id, idx) (filtering.py:1077-1100) ----------------
+
+    _KEY = ["doc_id", "idx"]
+
+    def union(self, other: "ElementFrame") -> "ElementFrame":
+        return self._with(self.df.unionByName(other.df).dropDuplicates(self._KEY))
+
+    def intersect(self, other: "ElementFrame") -> "ElementFrame":
+        keys = other.df.select(*self._KEY)
+        return self._with(self.df.join(keys, on=self._KEY, how="leftsemi"))
+
+    def subtract(self, other: "ElementFrame") -> "ElementFrame":
+        keys = other.df.select(*self._KEY)
+        return self._with(self.df.join(keys, on=self._KEY, how="leftanti"))
+
+    def xor(self, other: "ElementFrame") -> "ElementFrame":
+        """Spark has no xor: (a - b) | (b - a)."""
+        return self.subtract(other).union(other.subtract(self))
+
+    # -- terminal helpers ------------------------------------------------------
+
+    def fonts(self) -> DataFrame:
+        """document.fonts analogue (components.py:464-472)."""
+        return self.df.select("font").distinct()
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def ordered(self) -> DataFrame:
+        return self.df.orderBy("doc_id", "idx")
