@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship extraction pipeline on sf0.001 (smoke check).
+``queries`` — every implemented operator from SURVEY.md §2 + the
+              training-data ops (dedup/similarity/analysis/multimodal),
+              each as (spark, sf_dir) -> DataFrame.
+``oracle_sql`` — independent DuckDB SQL per query (synthetic-layout
+              arithmetic mirrored 1:1 for the ora corpus; golden VALUES
+              for memo/ordsum; driver views for documents/embeddings).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over the mixed-family corpus —
+    parse spans -> order -> classify -> per-doc recipes (memo fields,
+    order-summary sections+tables, default re-emission) -> output spans."""
+    from py_pdf_parser_spark.pipeline import extract_spans, rebalance
+    from py_pdf_parser_spark.synth import ensure_mixed_corpus
+
+    docs = spark.read.parquet(ensure_mixed_corpus(0.001))
+    return extract_spans(spark, rebalance(docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from py_pdf_parser_spark.queries import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from py_pdf_parser_spark.queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,855 @@
+"""Query registry: every operator exposed as a (Spark builder, DuckDB
+oracle SQL) pair for the driver's correctness gate.
+
+Spark side runs the REAL engine paths (mapInPandas parse kernel,
+ElementFrame operators, textops); the oracle re-derives the expected
+result independently in ANSI SQL — for the ``ora`` corpus the synthetic
+layout arithmetic is mirrored 1:1 (see kernel/layout.py ora_* functions),
+for golden families (memo/ordsum) the oracle pins the reference-derived
+expected output as VALUES.
+
+Column names/types are aligned on both sides (the driver hashes values
+under name-sorted columns).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .frame import ElementFrame
+from .kernel.layout import _MEMO_SPEC, _ORDSUM_SPEC  # golden specs
+from .pipeline import extract_spans, parse_elements
+from .synth import (
+    ensure_family_corpus,
+    ensure_oracle_corpus,
+    oracle_corpus_path,
+    sf_of_dir,
+)
+from .textops import analysis, dedup, media, similarity
+
+ORACLE_SF = 0.01  # the driver compares at sf=0.01
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+
+def _ora_cte() -> str:
+    """DuckDB mirror of kernel/layout.py::ora_layout + Doc ordering."""
+    path = oracle_corpus_path(ORACLE_SF)
+    return f"""
+WITH sp AS (
+  SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) AS i, unnest(spans) AS s
+  FROM read_parquet('{path}')
+), e0 AS (
+  SELECT doc_id, i, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
+         CAST(s."offset" AS BIGINT) AS o
+  FROM sp
+), e1 AS (
+  SELECT doc_id, i, kind, text, media_ref, o,
+         1 + o // 6 AS page_number,
+         CAST(5 + ((o % 6) % 3) * 30 AS DOUBLE) AS x0,
+         CAST(5 + ((o % 6) % 3) * 30 + 20 + (o % 7) AS DOUBLE) AS x1,
+         CAST(70 - ((o % 6) // 3) * 40 + (i % 3) AS DOUBLE) AS y0,
+         CAST(70 - ((o % 6) // 3) * 40 + (i % 3) + 8 + (o % 5) AS DOUBLE) AS y1,
+         'f' || CAST((o + i) % 3 AS VARCHAR) || ',' ||
+             CAST(8 + ((o * (i % 11)) % 4) AS VARCHAR) AS font
+  FROM e0
+), elements AS (
+  SELECT doc_id, kind, text, media_ref, o, page_number, x0, x1, y0, y1, font,
+         CAST(row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY page_number, y0 DESC, x0, o) - 1 AS BIGINT) AS idx
+  FROM e1
+), hdr AS (
+  SELECT doc_id, idx, page_number, x0, x1, y0, y1 FROM elements
+  WHERE text = 'HDR:'
+), endm AS (
+  SELECT doc_id, idx, page_number, x0, x1, y0, y1 FROM elements
+  WHERE text = 'END:'
+), val AS (
+  SELECT doc_id, idx, page_number, x0, x1, y0, y1 FROM elements
+  WHERE text LIKE 'val%'
+)"""
+
+
+_H_DUCK = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+
+_SHINGLES_DUCK = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || '_' || w[i+1] || '_' || w[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM t)"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _ora_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(ensure_oracle_corpus(sf_of_dir(sf_dir)))
+
+
+def _elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_elements(_ora_docs(spark, sf_dir))
+
+
+def _ef(spark: SparkSession, sf_dir: str) -> ElementFrame:
+    return ElementFrame(_elements(spark, sf_dir))
+
+
+def _keys(ef: ElementFrame) -> DataFrame:
+    return ef.df.select("doc_id", "idx")
+
+
+def _docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: Dict[str, Tuple[QueryFn, str]] = {}
+
+
+def q(name: str, sql: str = None):
+    def deco(fn: QueryFn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# -- parse / scan ------------------------------------------------------------
+
+
+@q(
+    "pp_parse_elements",
+    _ora_cte()
+    + """
+SELECT doc_id, idx, page_number, x0, x1, y0, y1, text, font, kind, media_ref
+FROM elements""",
+)
+def pp_parse_elements(spark, sf_dir):
+    return _elements(spark, sf_dir).select(
+        "doc_id", "idx", "page_number", "x0", "x1", "y0", "y1",
+        "text", "font", "kind", "media_ref",
+    )
+
+
+@q(
+    "pp_extract_spans",
+    _ora_cte()
+    + """
+SELECT doc_id, idx AS ord, kind, text, media_ref FROM elements""",
+)
+def pp_extract_spans(spark, sf_dir):
+    """Flagship: full pipeline -> output span sequence per document."""
+    out = extract_spans(spark, _ora_docs(spark, sf_dir))
+    s = out.select("doc_id", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.order").cast("long").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+@q(
+    "pp_media_passthrough",
+    _ora_cte()
+    + """
+SELECT doc_id, idx, media_ref FROM elements WHERE kind = 'media'""",
+)
+def pp_media_passthrough(spark, sf_dir):
+    return (
+        _ef(spark, sf_dir).filter_by_kind("media").df
+        .select("doc_id", "idx", "media_ref")
+    )
+
+
+# -- filters -------------------------------------------------------------
+
+
+@q(
+    "pp_filter_text_equal",
+    _ora_cte() + "SELECT doc_id, idx FROM elements WHERE text = 'HDR:'",
+)
+def pp_filter_text_equal(spark, sf_dir):
+    return _keys(_ef(spark, sf_dir).filter_by_text_equal("HDR:"))
+
+
+@q(
+    "pp_filter_text_contains",
+    _ora_cte() + "SELECT doc_id, idx FROM elements WHERE contains(text, 'ok1')",
+)
+def pp_filter_text_contains(spark, sf_dir):
+    return _keys(_ef(spark, sf_dir).filter_by_text_contains("ok1"))
+
+
+@q(
+    "pp_filter_regex",
+    _ora_cte()
+    + "SELECT doc_id, idx FROM elements WHERE regexp_matches(text, '^tok1[0-9]$')",
+)
+def pp_filter_regex(spark, sf_dir):
+    # Python re.match parity path (pandas UDF), oracle uses an explicitly
+    # anchored Java-compatible pattern of the same language.
+    return _keys(_ef(spark, sf_dir).filter_by_regex(r"tok1\d$"))
+
+
+@q(
+    "pp_filter_by_font",
+    _ora_cte() + "SELECT doc_id, idx FROM elements WHERE font = 'f1,8'",
+)
+def pp_filter_by_font(spark, sf_dir):
+    return _keys(_ef(spark, sf_dir).filter_by_font("f1,8"))
+
+
+@q(
+    "pp_filter_by_fonts",
+    _ora_cte()
+    + "SELECT doc_id, idx FROM elements WHERE font IN ('f0,8', 'f2,9', 'f2,10')",
+)
+def pp_filter_by_fonts(spark, sf_dir):
+    return _keys(_ef(spark, sf_dir).filter_by_fonts("f0,8", "f2,9", "f2,10"))
+
+
+@q(
+    "pp_filter_by_page",
+    _ora_cte() + "SELECT doc_id, idx FROM elements WHERE page_number = 2",
+)
+def pp_filter_by_page(spark, sf_dir):
+    return _keys(_ef(spark, sf_dir).filter_by_page(2))
+
+
+@q(
+    "pp_filter_by_pages",
+    _ora_cte() + "SELECT doc_id, idx FROM elements WHERE page_number IN (1, 3)",
+)
+def pp_filter_by_pages(spark, sf_dir):
+    return _keys(_ef(spark, sf_dir).filter_by_pages(1, 3))
+
+
+@q(
+    "pp_filter_out_header_footer",
+    _ora_cte() + "SELECT doc_id, idx FROM elements WHERE y0 < 75 AND y1 > 20",
+)
+def pp_filter_out_header_footer(spark, sf_dir):
+    return _keys(
+        _ef(spark, sf_dir).filter_out_header(75).filter_out_footer(20)
+    )
+
+
+# -- aggregations / distinct -------------------------------------------------
+
+
+@q(
+    "pp_fonts_distinct",
+    _ora_cte() + "SELECT DISTINCT doc_id, font FROM elements",
+)
+def pp_fonts_distinct(spark, sf_dir):
+    return _elements(spark, sf_dir).select("doc_id", "font").distinct()
+
+
+@q(
+    "pp_count_per_page",
+    _ora_cte()
+    + """
+SELECT doc_id, page_number, CAST(count(*) AS BIGINT) AS n_elements
+FROM elements GROUP BY doc_id, page_number""",
+)
+def pp_count_per_page(spark, sf_dir):
+    return (
+        _elements(spark, sf_dir)
+        .groupBy("doc_id", "page_number")
+        .agg(F.count("*").alias("n_elements"))
+    )
+
+
+@q(
+    "pp_first_last",
+    _ora_cte()
+    + """
+SELECT doc_id, CAST(min(idx) AS BIGINT) AS first_idx,
+       CAST(max(idx) AS BIGINT) AS last_idx
+FROM elements WHERE kind = 'text' GROUP BY doc_id""",
+)
+def pp_first_last(spark, sf_dir):
+    return (
+        _ef(spark, sf_dir).filter_by_kind("text").df
+        .groupBy("doc_id")
+        .agg(F.min("idx").alias("first_idx"), F.max("idx").alias("last_idx"))
+    )
+
+
+# -- order ops ----------------------------------------------------------------
+
+
+@q(
+    "pp_before",
+    _ora_cte()
+    + """
+SELECT e.doc_id, e.idx FROM elements e JOIN endm a ON e.doc_id = a.doc_id
+WHERE e.idx < a.idx""",
+)
+def pp_before(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    return _keys(ef.before(ef.filter_by_text_equal("END:")))
+
+
+@q(
+    "pp_after",
+    _ora_cte()
+    + """
+SELECT e.doc_id, e.idx FROM elements e JOIN hdr a ON e.doc_id = a.doc_id
+WHERE e.idx > a.idx""",
+)
+def pp_after(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    return _keys(ef.after(ef.filter_by_text_equal("HDR:")))
+
+
+@q(
+    "pp_between",
+    _ora_cte()
+    + """
+SELECT e.doc_id, e.idx FROM elements e
+JOIN hdr s ON e.doc_id = s.doc_id
+JOIN endm t ON e.doc_id = t.doc_id
+WHERE e.idx > s.idx AND e.idx < t.idx""",
+)
+def pp_between(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    return _keys(
+        ef.between(
+            ef.filter_by_text_equal("HDR:"), ef.filter_by_text_equal("END:")
+        )
+    )
+
+
+# -- geometric joins -----------------------------------------------------------
+
+
+@q(
+    "pp_to_the_right_of",
+    _ora_cte()
+    + """
+SELECT e.doc_id, e.idx FROM elements e JOIN hdr a ON e.doc_id = a.doc_id
+WHERE e.page_number = a.page_number AND a.x1 <= e.x1 AND 100.0 >= e.x0
+  AND a.y0 <= e.y1 AND a.y1 >= e.y0 AND e.idx != a.idx""",
+)
+def pp_to_the_right_of(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    return _keys(ef.to_the_right_of(ef.filter_by_text_equal("HDR:")))
+
+
+@q(
+    "pp_to_the_left_of",
+    _ora_cte()
+    + """
+SELECT e.doc_id, e.idx FROM elements e JOIN val a ON e.doc_id = a.doc_id
+WHERE e.page_number = a.page_number AND 0.0 <= e.x1 AND a.x0 >= e.x0
+  AND a.y0 <= e.y1 AND a.y1 >= e.y0 AND e.idx != a.idx""",
+)
+def pp_to_the_left_of(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    return _keys(ef.to_the_left_of(ef.filter_by_regex(r"val\d")))
+
+
+@q(
+    "pp_below_all_pages",
+    _ora_cte()
+    + """
+SELECT e.doc_id, e.idx FROM elements e JOIN hdr a ON e.doc_id = a.doc_id
+WHERE a.x0 <= e.x1 AND a.x1 >= e.x0
+  AND (e.page_number > a.page_number
+       OR (e.page_number = a.page_number AND e.y0 <= a.y0))
+  AND e.idx != a.idx""",
+)
+def pp_below_all_pages(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    return _keys(
+        ef.below(ef.filter_by_text_equal("HDR:"), all_pages=True)
+    )
+
+
+@q(
+    "pp_above_all_pages",
+    _ora_cte()
+    + """
+SELECT e.doc_id, e.idx FROM elements e JOIN endm a ON e.doc_id = a.doc_id
+WHERE a.x0 <= e.x1 AND a.x1 >= e.x0
+  AND (e.page_number < a.page_number
+       OR (e.page_number = a.page_number AND e.y1 >= a.y1))
+  AND e.idx != a.idx""",
+)
+def pp_above_all_pages(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    return _keys(ef.above(ef.filter_by_text_equal("END:"), all_pages=True))
+
+
+@q(
+    "pp_vertically_in_line_with",
+    _ora_cte()
+    + """
+SELECT e.doc_id, e.idx FROM elements e JOIN val a ON e.doc_id = a.doc_id
+WHERE a.x0 <= e.x1 AND a.x1 >= e.x0 AND e.idx != a.idx""",
+)
+def pp_vertically_in_line_with(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    return _keys(
+        ef.vertically_in_line_with(ef.filter_by_regex(r"val\d"), all_pages=True)
+    )
+
+
+@q(
+    "pp_horizontally_in_line_with",
+    _ora_cte()
+    + """
+SELECT e.doc_id, e.idx FROM elements e JOIN val a ON e.doc_id = a.doc_id
+WHERE e.page_number = a.page_number AND a.y0 <= e.y1 AND a.y1 >= e.y0
+  AND e.idx != a.idx""",
+)
+def pp_horizontally_in_line_with(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    return _keys(ef.horizontally_in_line_with(ef.filter_by_regex(r"val\d")))
+
+
+# -- set algebra ---------------------------------------------------------------
+
+
+@q(
+    "pp_set_xor",
+    _ora_cte()
+    + """
+, r AS (
+  SELECT e.doc_id, e.idx FROM elements e JOIN hdr a ON e.doc_id = a.doc_id
+  WHERE e.page_number = a.page_number AND a.x1 <= e.x1 AND 100.0 >= e.x0
+    AND a.y0 <= e.y1 AND a.y1 >= e.y0 AND e.idx != a.idx
+), f AS (
+  SELECT doc_id, idx FROM elements WHERE font = 'f1,8'
+)
+SELECT doc_id, idx FROM ((SELECT * FROM r EXCEPT SELECT * FROM f)
+ UNION (SELECT * FROM f EXCEPT SELECT * FROM r))""",
+)
+def pp_set_xor(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    right = ef.to_the_right_of(ef.filter_by_text_equal("HDR:"))
+    fonted = ef.filter_by_font("f1,8")
+    return _keys(right.xor(fonted))
+
+
+# -- sections -------------------------------------------------------------------
+
+
+@q(
+    "pp_sections",
+    _ora_cte()
+    + """
+SELECT h.doc_id, 'body' AS name, 'body_0' AS unique_name,
+       h.idx AS start_idx, e.idx AS end_idx
+FROM hdr h JOIN endm e ON h.doc_id = e.doc_id""",
+)
+def pp_sections(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    h = ef.filter_by_text_equal("HDR:").df.select(
+        "doc_id", F.col("idx").alias("start_idx")
+    )
+    e = ef.filter_by_text_equal("END:").df.select(
+        "doc_id", F.col("idx").alias("end_idx")
+    )
+    return (
+        h.join(e, "doc_id")
+        .withColumn("name", F.lit("body"))
+        .withColumn("unique_name", F.lit("body_0"))
+        .select("doc_id", "name", "unique_name", "start_idx", "end_idx")
+    )
+
+
+@q(
+    "pp_section_elements",
+    _ora_cte()
+    + """
+SELECT e.doc_id, e.idx FROM elements e
+JOIN hdr s ON e.doc_id = s.doc_id
+JOIN endm t ON e.doc_id = t.doc_id
+WHERE e.idx >= s.idx AND e.idx <= t.idx""",
+)
+def pp_section_elements(spark, sf_dir):
+    ef = _ef(spark, sf_dir)
+    return _keys(
+        ef.between(
+            ef.filter_by_text_equal("HDR:"),
+            ef.filter_by_text_equal("END:"),
+            inclusive=True,
+        )
+    )
+
+
+# -- golden end-to-end queries (memo / order-summary) ----------------------------
+
+
+def _memo_expected_values() -> str:
+    rows = [
+        (0, "TO: Awesome Person"),
+        (1, "FROM: Email Sender"),
+        (2, "DATE: 1st January 2020"),
+        (3, "SUBJECT: A new PDF Parsing tool"),
+        (4, _MEMO_SPEC[8][0]),
+    ]
+    vals = ", ".join("({}, '{}')".format(o, t.replace("'", "''")) for o, t in rows)
+    return vals
+
+
+@q(
+    "pp_memo_extract",
+    f"""
+SELECT d.doc_id, CAST(v.ord AS BIGINT) AS ord, v.text
+FROM read_parquet('{{memo_path}}') d
+CROSS JOIN (VALUES {_memo_expected_values()}) AS v(ord, text)""",
+)
+def pp_memo_extract(spark, sf_dir):
+    docs = spark.read.parquet(
+        ensure_family_corpus("memo", sf_of_dir(sf_dir))
+    )
+    out = extract_spans(spark, docs)
+    s = out.select("doc_id", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.order").cast("long").alias("ord"),
+        F.col("s.text").alias("text"),
+    )
+
+
+def _ordsum_cells_values() -> str:
+    header = ["Item", "Unit Cost", "Quantity", "Cost"]
+    data = [
+        ("Apple", "1", "10", "10"),
+        ("Banana", "2", "5", "10"),
+        ("Cherry", "3", "30", "90"),
+        ("Date", "4", "3", "12"),
+    ]
+    cells = []
+    for c, h in enumerate(header):
+        cells.append((0, c, h))
+    for r, row in enumerate(data, start=1):
+        for c, v in enumerate(row):
+            cells.append((r, c, v))
+    return ", ".join(f"({r}, {c}, '{v}')" for r, c, v in cells)
+
+
+@q(
+    "pp_ordsum_table",
+    f"""
+SELECT d.doc_id, CAST(v.row_id AS BIGINT) AS row_id,
+       CAST(v.col_id AS BIGINT) AS col_id, v.value
+FROM read_parquet('{{ordsum_path}}') d
+CROSS JOIN (VALUES {_ordsum_cells_values()}) AS v(row_id, col_id, value)""",
+)
+def pp_ordsum_table(spark, sf_dir):
+    """Sections + fonts + simple-table grid, emitted as cells."""
+    import pandas as pd
+
+    from .errors import DocError
+    from .kernel.parse import doc_from_spans
+    from .kernel.tables import extract_simple_table
+
+    docs = spark.read.parquet(
+        ensure_family_corpus("ordsum", sf_of_dir(sf_dir))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "row_id": [], "col_id": [], "value": []}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                try:
+                    doc = doc_from_spans(doc_id, spans)
+                    els = doc.elements
+                    items_start = (
+                        els.filter_by_font("sub_title")
+                        .filter_by_text_equal("Items ordered:")
+                        .extract_single_element()
+                    )
+                    totals_start = (
+                        els.filter_by_font("sub_title")
+                        .filter_by_text_equal("Totals:")
+                        .extract_single_element()
+                    )
+                    doc.sectioning.create_section(
+                        "items", items_start, totals_start,
+                        include_last_element=False,
+                    )
+                    items = els.filter_by_section("items_0").filter_by_fonts(
+                        "table_header", "table_text"
+                    )
+                    table = extract_simple_table(items, as_text=True)
+                except DocError:
+                    continue
+                for r, row in enumerate(table):
+                    for c, v in enumerate(row):
+                        rows["doc_id"].append(doc_id)
+                        rows["row_id"].append(r)
+                        rows["col_id"].append(c)
+                        rows["value"].append(v)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, "doc_id string, row_id long, col_id long, value string"
+    )
+
+
+# -- multimodal -------------------------------------------------------------------
+
+
+@q(
+    "mm_media_features",
+    f"""
+WITH m AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{oracle_corpus_path(ORACLE_SF)}')
+)
+SELECT doc_id, s.media_ref AS media_ref, CAST(s."offset" AS BIGINT) AS off,
+       CAST(64 + (length(s.media_ref) % 7) * 16 AS BIGINT) AS width,
+       CAST(48 + (length(s.media_ref) % 5) * 24 AS BIGINT) AS height,
+       CAST(1 + (s."offset" % 5) AS BIGINT) AS n_frames,
+       (64 + (length(s.media_ref) % 7) * 16)
+           / (48 + (length(s.media_ref) % 5) * 24) AS aspect
+FROM m WHERE s.kind = 'media'""",
+)
+def mm_media_features(spark, sf_dir):
+    return media.media_features(_ora_docs(spark, sf_dir))
+
+
+# -- text analysis (driver documents table) ----------------------------------------
+
+
+@q(
+    "td_token_count",
+    """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents""",
+)
+def td_token_count(spark, sf_dir):
+    return analysis.token_count(_docs_table(spark, sf_dir))
+
+
+@q(
+    "td_quality_score",
+    """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS BIGINT) AS n_punct,
+       (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+           / length(text) AS punct_ratio,
+       len(list_filter(string_split(text, ' '),
+           x -> x IN ('the','and','of','to','a','in','is')))
+           / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents""",
+)
+def td_quality_score(spark, sf_dir):
+    return analysis.quality_score(_docs_table(spark, sf_dir))
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: (
+            f"len(list_filter(string_split(text, ' '), x -> x IN "
+            f"({', '.join(chr(39) + w + chr(39) for w in words)})))"
+        )
+        for lang, words in analysis.STOPWORDS.items()
+    }
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST({hits['en']} AS BIGINT) AS hits_en,
+         CAST({hits['de']} AS BIGINT) AS hits_de,
+         CAST({hits['fr']} AS BIGINT) AS hits_fr,
+         CAST({hits['es']} AS BIGINT) AS hits_es
+  FROM documents)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN hits_en > 0 AND hits_en >= greatest(hits_de, hits_fr, hits_es)
+              THEN 'en'
+            WHEN hits_de > 0 AND hits_de >= greatest(hits_fr, hits_es) THEN 'de'
+            WHEN hits_fr > 0 AND hits_fr >= hits_es THEN 'fr'
+            WHEN hits_es > 0 THEN 'es'
+            ELSE 'unk' END AS lang_pred
+FROM h"""
+
+
+@q("td_lang_id", _langid_oracle())
+def td_lang_id(spark, sf_dir):
+    return analysis.lang_id(_docs_table(spark, sf_dir))
+
+
+@q(
+    "td_fingerprint",
+    """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+           ' ')) AS fingerprint
+FROM documents""",
+)
+def td_fingerprint(spark, sf_dir):
+    return analysis.fingerprint(_docs_table(spark, sf_dir))
+
+
+# -- dedup ---------------------------------------------------------------------------
+
+
+@q(
+    "td_exact_dups",
+    """
+SELECT doc_id, md5(text) AS digest,
+       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+FROM documents""",
+)
+def td_exact_dups(spark, sf_dir):
+    return dedup.exact_dups(_docs_table(spark, sf_dir))
+
+
+def _minhash_oracle() -> str:
+    selects = []
+    for k, (a, b) in enumerate(dedup.MINHASH_PARAMS):
+        h = _H_DUCK.format(s="s")
+        selects.append(
+            f"SELECT doc_id, CAST({k} AS BIGINT) AS k, "
+            f"CAST(list_min(list_transform(shingles, "
+            f"s -> ({a} * {h} + {b}) % {dedup.MERSENNE})) AS BIGINT) AS minhash "
+            f"FROM sh WHERE len(shingles) > 0"
+        )
+    return _SHINGLES_DUCK + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@q("td_minhash_signatures", _minhash_oracle())
+def td_minhash_signatures(spark, sf_dir):
+    sig = dedup.minhash_signatures(_docs_table(spark, sf_dir))
+    return sig.select("doc_id", F.col("k").cast("long").alias("k"), "minhash")
+
+
+def _simhash_oracle() -> str:
+    h = _H_DUCK.format(s="w")
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+), wh AS (
+  SELECT doc_id, {h} AS h FROM w0
+), v AS (
+  SELECT doc_id, {sums} FROM wh GROUP BY doc_id
+)
+SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM v"""
+
+
+@q("td_simhash", _simhash_oracle())
+def td_simhash(spark, sf_dir):
+    return dedup.simhash(_docs_table(spark, sf_dir))
+
+
+@q(
+    "td_ngram_jaccard_pairs",
+    _SHINGLES_DUCK
+    + """,
+blk AS (
+  SELECT sh.doc_id, sh.shingles, length(d.text) // 64 AS blk
+  FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.shingles, b.shingles))
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+           AS jaccard
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles))
+      / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.5""",
+)
+def td_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs_table(spark, sf_dir))
+
+
+# -- similarity search ------------------------------------------------------------------
+
+
+@q(
+    "emb_cosine_topk",
+    """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10
+), j AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(q.q_emb, e.emb), 4) AS cos
+  FROM q, e WHERE e.vec_id != q.q_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+      AS rank
+  FROM j
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
+)
+def emb_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb_table(spark, sf_dir))
+
+
+# LSH ANN: recall-bounded approximate variant — no closed-form SQL oracle
+# (bucketing is part of the algorithm); driver records a rows-only check.
+@q("emb_lsh_topk", None)
+def emb_lsh_topk(spark, sf_dir):
+    return similarity.lsh_topk(_emb_table(spark, sf_dir))
+
+
+@q("emb_dup_pairs", None)
+def emb_dup_pairs(spark, sf_dir):
+    return similarity.embedding_dup_pairs(
+        _emb_table(spark, sf_dir), threshold=0.9
+    )
+
+
+@q("td_lsh_candidate_pairs", None)
+def td_lsh_candidate_pairs(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(_docs_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# public accessors (used by __spark_entry__)
+# ---------------------------------------------------------------------------
+
+
+def queries() -> Dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    memo_path = ensure_family_corpus("memo", ORACLE_SF)
+    ordsum_path = ensure_family_corpus("ordsum", ORACLE_SF)
+    ensure_oracle_corpus(ORACLE_SF)
+    out = {}
+    for name, (_, sql) in REGISTRY.items():
+        if sql is None:
+            continue
+        out[name] = sql.format(memo_path=memo_path, ordsum_path=ordsum_path)
+    return out

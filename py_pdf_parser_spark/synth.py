@@ -118,6 +118,19 @@ def ensure_mixed_corpus(sf: float, skew: bool = False) -> str:
     return _write(rows, path)
 
 
+def family_corpus_path(family: str, sf: float) -> str:
+    return os.path.join(SYNTH_DIR, f"fam_{family}_sf{sf}", "documents.parquet")
+
+
+def ensure_family_corpus(family: str, sf: float) -> str:
+    """Single-family corpus (memo/ordsum/... golden-query inputs)."""
+    path = family_corpus_path(family, sf)
+    if os.path.exists(path):
+        return path
+    n_docs = max(20, int(20000 * sf))
+    return _write(_rows_for(family, n_docs), path)
+
+
 def sf_of_dir(sf_dir: str) -> float:
     """Parse the scale factor from a driver testdata dir name (…/sf0.01)."""
     base = os.path.basename(os.path.normpath(sf_dir))

@@ -1,0 +1,155 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash(+LSH), SimHash.
+
+Scale notes:
+  * exact dedup: one hash-shuffle on the digest — the minimal possible.
+  * MinHash signatures: narrow (no shuffle); the LSH candidate join
+    shuffles on (band, bucket) only, never on raw text.
+  * SimHash: narrow after one explode+groupBy(doc) (map-side combinable).
+  * Pairwise Jaccard runs ONLY within LSH/blocking buckets — never a full
+    cross join.
+
+All hash math is md5-based so a SQL oracle (DuckDB) can reproduce it
+bit-for-bit: H(s) = int(first 8 hex chars of md5(s)) in [0, 2^32).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MERSENNE = 2147483647  # 2^31 - 1
+# Deterministic affine hash params (a_k, b_k) for k minhash functions.
+MINHASH_PARAMS: List = [
+    (1 + 2 * k, 10007 * (k + 1) % MERSENNE) for k in range(8)
+]
+
+
+def _h(col_expr: str) -> str:
+    """SQL: 32-bit integer hash of a string via md5 prefix (JVM-side)."""
+    return f"cast(conv(substring(md5({col_expr}), 1, 8), 16, 10) as bigint)"
+
+
+def exact_dups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content digest (hash-groupBy)."""
+    w = Window.partitionBy("digest")
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-gram word shingles per doc (joined with '_')."""
+    toks = "split(text, ' ')"
+    parts = ", ".join(f"{toks}[i - 1 + {j}]" for j in range(n))
+    # Guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark,
+    # so short docs take the empty-array branch explicitly.
+    expr = (
+        f"IF(size({toks}) >= {n}, "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws('_', {parts}))), "
+        f"cast(array() as array<string>))"
+    )
+    return docs.select("doc_id", F.expr(expr).alias("shingles"))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash signature rows (doc_id, k, minhash) — narrow, no shuffle."""
+    sh = shingles(docs, n)
+    sig_cols = []
+    for k, (a, b) in enumerate(MINHASH_PARAMS):
+        mh = F.expr(
+            f"array_min(transform(shingles, s -> ({a} * {_h('s')} + {b}) % {MERSENNE}))"
+        ).cast("long")
+        sig_cols.append(F.struct(F.lit(k).alias("k"), mh.alias("minhash")))
+    return (
+        sh.where(F.size("shingles") > 0)
+        .select("doc_id", F.explode(F.array(*sig_cols)).alias("s"))
+        .select("doc_id", F.col("s.k").alias("k"), F.col("s.minhash").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Shuffle is on (band, bucket) — tiny keys — then a self-join within
+    buckets.  Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    sig = minhash_signatures(docs)
+    banded = (
+        sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.collect_list(F.col("minhash").cast("string")))).alias("bucket"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    block_chars: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard within cheap length blocks.
+
+    Blocking key = n_chars // block_chars: candidate pairs only form
+    inside a block (near-identical docs have near-identical lengths), so
+    the join never goes quadratic in the corpus.
+    """
+    sh = shingles(docs, n).join(
+        docs.select("doc_id", (F.length("text") / block_chars).cast("long").alias("blk")),
+        "doc_id",
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = F.round(inter / union, 4)
+    return (
+        a.join(b, "blk")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over the distinct token set.
+
+    One explode + map-side-combinable groupBy(doc_id): each token votes
+    +1/-1 per bit position of its 32-bit hash; the sign vector packs into
+    an integer.
+    """
+    words = docs.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(split(text, ' '))")).alias("w"),
+    ).withColumn("h", F.expr(_h("w")))
+    votes = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(h, {j}) % 2) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    packed = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return agg.select("doc_id", packed.cast("long").alias("simhash"))

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; one narrow pass + per-query top-k window.  The
+  correctness baseline.
+* ``lsh_topk`` — random-hyperplane LSH bucketing: sign-bit sketch per
+  vector, candidates = same bucket (optionally multi-probe), exact rerank
+  inside buckets.  The scale path: the corpus is hashed once (narrow),
+  the join shuffles on small bucket keys, rerank touches only candidates.
+* ``embedding_dup_pairs`` — near-duplicate pairs by cosine >= threshold,
+  LSH-bucketed so the pair join never goes quadratic.
+
+All vector math is built-in higher-order functions (JVM-side): zip_with +
+aggregate for dot products; elements cast to double for deterministic
+precision (mirrors DuckDB's list_cosine_similarity on DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _norm(col: str) -> str:
+    return f"sqrt({DOT.format(a=col, b=col)})"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.expr(_norm(vec_col)))
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Output: (q_id, vec_id, cos, rank) — cos rounded to 4dp, ties broken
+    by vec_id for determinism.
+    """
+    corpus = with_norm(emb).select(
+        "vec_id", "embedding", F.col("_norm").alias("n_c")
+    )
+    queries = with_norm(emb.where(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("n_q"),
+    )
+    dot = F.expr(DOT.format(a="q_emb", b="embedding"))
+    joined = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", F.round(dot / (F.col("n_c") * F.col("n_q")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+N_HYPERPLANES = 8
+
+
+def _hyperplane_sketch(vec_col: str) -> str:
+    """Sign-bit sketch: hyperplane h has pseudo-random +-1 components
+    derived from (h, dim) — deterministic, SQL-reproducible:
+    sign = +1 if (dim * (h + 3) + h * 7) % 2 = 0 else -1."""
+    bits = []
+    for h in range(N_HYPERPLANES):
+        proj = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, d) -> cast(x as double) * IF((d * ({h} + 3) + {h} * 7) % 2 = 0, 1.0, -1.0)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"IF({proj} > 0, {2 ** h}, 0)")
+    return " + ".join(bits)
+
+
+def lsh_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn(
+        "bucket", F.expr(_hyperplane_sketch(vec_col)).cast("long")
+    )
+
+
+def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Approximate top-k: exact rerank within the query's LSH bucket.
+
+    Recall < 1.0 by construction; at scale, multi-probe (flip one sketch
+    bit) can be unioned in — kept single-probe here for a clean plan.
+    """
+    hashed = with_norm(lsh_buckets(emb))
+    corpus = hashed.select(
+        "vec_id", "embedding", "bucket", F.col("_norm").alias("n_c")
+    )
+    queries = hashed.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("_norm").alias("n_q"),
+    )
+    dot = F.expr(DOT.format(a="q_emb", b="embedding"))
+    joined = (
+        corpus.join(
+            F.broadcast(queries), corpus["bucket"] == queries["q_bucket"]
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", F.round(dot / (F.col("n_c") * F.col("n_q")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), LSH-bucketed."""
+    hashed = with_norm(lsh_buckets(emb))
+    a = hashed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("_norm").alias("n_a"),
+        "bucket",
+    )
+    b = hashed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("_norm").alias("n_b"),
+        "bucket",
+    )
+    dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (F.col("n_a") * F.col("n_b")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
