@@ -173,10 +173,16 @@ def rebalance(
     ~one heavy doc.
     """
     cost = F.size("spans")
+    parallelism = docs_df.sparkSession.sparkContext.defaultParallelism
     light = docs_df.where(cost <= heavy_threshold)
+    # Small inputs (few scan splits) underuse the cluster: bump light-doc
+    # partitions up to the parallelism floor.  At scale (splits >= cores)
+    # this branch never triggers and light docs stay shuffle-free.
+    if docs_df.rdd.getNumPartitions() < parallelism:
+        light = light.repartition(parallelism * 2)
     heavy = docs_df.where(cost > heavy_threshold)
     if heavy_partitions is None:
-        heavy_partitions = docs_df.sparkSession.sparkContext.defaultParallelism
+        heavy_partitions = parallelism
     return light.unionByName(heavy.repartition(heavy_partitions))
 
 

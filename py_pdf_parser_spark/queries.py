@@ -43,7 +43,7 @@ def _ora_cte() -> str:
     return f"""
 WITH sp AS (
   SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) AS i, unnest(spans) AS s
-  FROM read_parquet('{path}')
+  FROM read_parquet('{path}/*.parquet')
 ), e0 AS (
   SELECT doc_id, i, s.kind AS kind, s.text AS text, s.media_ref AS media_ref,
          CAST(s."offset" AS BIGINT) AS o
@@ -521,7 +521,7 @@ def _memo_expected_values() -> str:
     "pp_memo_extract",
     f"""
 SELECT d.doc_id, CAST(v.ord AS BIGINT) AS ord, v.text
-FROM read_parquet('{{memo_path}}') d
+FROM read_parquet('{{memo_path}}/*.parquet') d
 CROSS JOIN (VALUES {_memo_expected_values()}) AS v(ord, text)""",
 )
 def pp_memo_extract(spark, sf_dir):
@@ -559,7 +559,7 @@ def _ordsum_cells_values() -> str:
     f"""
 SELECT d.doc_id, CAST(v.row_id AS BIGINT) AS row_id,
        CAST(v.col_id AS BIGINT) AS col_id, v.value
-FROM read_parquet('{{ordsum_path}}') d
+FROM read_parquet('{{ordsum_path}}/*.parquet') d
 CROSS JOIN (VALUES {_ordsum_cells_values()}) AS v(row_id, col_id, value)""",
 )
 def pp_ordsum_table(spark, sf_dir):
@@ -621,7 +621,7 @@ def pp_ordsum_table(spark, sf_dir):
     "mm_media_features",
     f"""
 WITH m AS (
-  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{oracle_corpus_path(ORACLE_SF)}')
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{oracle_corpus_path(ORACLE_SF)}/*.parquet')
 )
 SELECT doc_id, s.media_ref AS media_ref, CAST(s."offset" AS BIGINT) AS off,
        CAST(64 + (length(s.media_ref) % 7) * 16 AS BIGINT) AS width,

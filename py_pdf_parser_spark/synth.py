@@ -1,24 +1,25 @@
 """Deterministic synthetic corpora (seed-free: pure functions of doc_id).
 
-Writes parquet tables of exactly the hinted input shape
-``(doc_id string, spans array<struct<kind,text,media_ref,offset int>>)``.
+Writes parquet DATASETS (directories of ~2000-doc files) of exactly the
+hinted input shape ``(doc_id string, spans array<struct<kind,text,
+media_ref,offset int>>)``.  Multi-file layout matters: it is what a real
+ingestion produces, it gives Spark scan splits to parallelize over, and
+it keeps synthesis memory bounded.
 
 Two corpora:
-  * **oracle corpus** (``ora`` family only) — layout is mirrored in DuckDB
-    SQL, so every pp_* query in ``__spark_entry__.py`` has an independent
-    SQL oracle.
-  * **mixed corpus** — all families (ora/memo/ordsum/media), optionally
-    plus pathological skew docs (bigdoc/bigmedia), used by the pipeline
-    tests and ``bench.py``.
+  * **oracle corpus** (``ora`` family only) — layout mirrored in DuckDB
+    SQL so every pp_* query has an independent SQL oracle.
+  * **mixed corpus** — all families, optionally plus pathological skew
+    docs (bigdoc/bigmedia), used by pipeline tests and ``bench.py``.
 
-Corpora are cached under ``synthdata/`` in the repo; content is a pure
-function of (kind, scale) so regeneration is idempotent.
+Content is a pure function of (kind, scale): regeneration is idempotent.
 """
 
 from __future__ import annotations
 
 import os
-from typing import List, Tuple
+import zlib
+from typing import Iterable, Iterator, List, Tuple
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -27,6 +28,8 @@ from .kernel.layout import SPAN_BUILDERS
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__)) + "/.."
 SYNTH_DIR = os.path.join(os.path.abspath(REPO_ROOT), "synthdata")
+
+DOCS_PER_FILE = 2000
 
 SPANS_ARROW_SCHEMA = pa.schema(
     [
@@ -47,37 +50,59 @@ SPANS_ARROW_SCHEMA = pa.schema(
     ]
 )
 
+Row = Tuple[str, list]
 
-def _rows_for(family: str, count: int, start: int = 0) -> List[Tuple[str, list]]:
+
+def _iter_rows(family: str, count: int, start: int = 0) -> Iterator[Row]:
     builder = SPAN_BUILDERS[family]
-    rows = []
     for i in range(start, start + count):
         doc_id = f"{family}-{i:06d}"
         spans = [
             {"kind": k, "text": t, "media_ref": m, "offset": o}
             for (k, t, m, o) in builder(i)
         ]
-        rows.append((doc_id, spans))
-    return rows
+        yield (doc_id, spans)
 
 
-def _write(rows: List[Tuple[str, list]], path: str) -> str:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    table = pa.Table.from_pydict(
-        {"doc_id": [r[0] for r in rows], "spans": [r[1] for r in rows]},
-        schema=SPANS_ARROW_SCHEMA,
-    )
-    pq.write_table(table, path)
-    return path
+def _write_dataset(rows: Iterable[Row], out_dir: str) -> str:
+    """Chunked multi-file write; memory bounded at DOCS_PER_FILE docs."""
+    tmp_dir = out_dir + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    buf: List[Row] = []
+    file_no = 0
+
+    def flush():
+        nonlocal file_no
+        if not buf:
+            return
+        table = pa.Table.from_pydict(
+            {"doc_id": [r[0] for r in buf], "spans": [r[1] for r in buf]},
+            schema=SPANS_ARROW_SCHEMA,
+        )
+        pq.write_table(table, f"{tmp_dir}/part-{file_no:05d}.parquet")
+        buf.clear()
+        file_no += 1
+
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= DOCS_PER_FILE:
+            flush()
+    flush()
+    os.rename(tmp_dir, out_dir)  # atomic-ish publish: cache hit == complete
+    return out_dir
 
 
 def oracle_corpus_path(sf: float) -> str:
-    return os.path.join(SYNTH_DIR, f"ora_sf{sf}", "documents.parquet")
+    return os.path.join(SYNTH_DIR, f"ora_sf{sf}")
 
 
 def mixed_corpus_path(sf: float, skew: bool = False) -> str:
     tag = "skew" if skew else "flat"
-    return os.path.join(SYNTH_DIR, f"mixed_{tag}_sf{sf}", "documents.parquet")
+    return os.path.join(SYNTH_DIR, f"mixed_{tag}_sf{sf}")
+
+
+def family_corpus_path(family: str, sf: float) -> str:
+    return os.path.join(SYNTH_DIR, f"fam_{family}_sf{sf}")
 
 
 def ensure_oracle_corpus(sf: float) -> str:
@@ -86,7 +111,52 @@ def ensure_oracle_corpus(sf: float) -> str:
     if os.path.exists(path):
         return path
     n_docs = max(50, int(60000 * sf))
-    return _write(_rows_for("ora", n_docs), path)
+    return _write_dataset(_iter_rows("ora", n_docs), path)
+
+
+def ensure_family_corpus(family: str, sf: float) -> str:
+    """Single-family corpus (memo/ordsum/... golden-query inputs)."""
+    path = family_corpus_path(family, sf)
+    if os.path.exists(path):
+        return path
+    n_docs = max(20, int(20000 * sf))
+    return _write_dataset(_iter_rows(family, n_docs), path)
+
+
+def _mixed_rows(n_docs: int, skew: bool) -> Iterator[Row]:
+    n_patho = (int(n_docs * 0.005) or 1) if skew else 0
+    counts = {
+        "ora": int(n_docs * 0.70),
+        "memo": int(n_docs * 0.15),
+        "media": int(n_docs * 0.10),
+    }
+    counts["ordsum"] = n_docs - sum(counts.values()) - 2 * n_patho
+    if skew:
+        counts["bigdoc"] = n_patho
+        counts["bigmedia"] = n_patho
+
+    # Deterministic interleave across families WITHOUT materializing all
+    # rows: round-robin weighted by a stable per-doc_id sort key within
+    # windows of one output file.
+    iters = {fam: _iter_rows(fam, cnt) for fam, cnt in counts.items() if cnt}
+    window: List[Row] = []
+    live = dict(iters)
+    while live:
+        for fam in list(live):
+            it = live[fam]
+            took = 0
+            budget = max(1, counts[fam] * DOCS_PER_FILE // max(n_docs, 1))
+            for row in it:
+                window.append(row)
+                took += 1
+                if took >= budget:
+                    break
+            if took < budget:
+                del live[fam]
+        if len(window) >= DOCS_PER_FILE or not live:
+            window.sort(key=lambda r: zlib.crc32(r[0].encode()))
+            yield from window
+            window.clear()
 
 
 def ensure_mixed_corpus(sf: float, skew: bool = False) -> str:
@@ -100,35 +170,7 @@ def ensure_mixed_corpus(sf: float, skew: bool = False) -> str:
     if os.path.exists(path):
         return path
     n_docs = max(100, int(200000 * sf))
-    rows: List[Tuple[str, list]] = []
-    rows += _rows_for("ora", int(n_docs * 0.70))
-    rows += _rows_for("memo", int(n_docs * 0.15))
-    rows += _rows_for("media", int(n_docs * 0.10))
-    rows += _rows_for("ordsum", n_docs - len(rows) - (int(n_docs * 0.005) * 2 if skew else 0))
-    if skew:
-        n_patho = int(n_docs * 0.005) or 1
-        rows += _rows_for("bigdoc", n_patho)
-        rows += _rows_for("bigmedia", n_patho)
-    # Interleave families deterministically so file row-groups aren't
-    # family-sorted (mimics real ingestion order).  zlib.crc32, not hash():
-    # str hash is salted per process.
-    import zlib
-
-    rows.sort(key=lambda r: zlib.crc32(r[0].encode()) % 1_000_003)
-    return _write(rows, path)
-
-
-def family_corpus_path(family: str, sf: float) -> str:
-    return os.path.join(SYNTH_DIR, f"fam_{family}_sf{sf}", "documents.parquet")
-
-
-def ensure_family_corpus(family: str, sf: float) -> str:
-    """Single-family corpus (memo/ordsum/... golden-query inputs)."""
-    path = family_corpus_path(family, sf)
-    if os.path.exists(path):
-        return path
-    n_docs = max(20, int(20000 * sf))
-    return _write(_rows_for(family, n_docs), path)
+    return _write_dataset(_mixed_rows(n_docs, skew), path)
 
 
 def sf_of_dir(sf_dir: str) -> float:

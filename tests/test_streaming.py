@@ -1,0 +1,38 @@
+"""Structured Streaming path: same kernels under foreachBatch."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from py_pdf_parser_spark.streaming import stream_extract  # noqa: E402
+from py_pdf_parser_spark.synth import ensure_mixed_corpus  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from py_pdf_parser_spark.session import get_spark
+
+    return get_spark(cores=4)
+
+
+def test_stream_extract_processes_files(spark, tmp_path):
+    import os
+    import shutil
+
+    src = ensure_mixed_corpus(0.001)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    shutil.copy(src, f"{in_dir}/part-0.parquet")
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    query = stream_extract(spark, in_dir, out_dir, ckpt)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    out = spark.read.parquet(out_dir)
+    n_docs = spark.read.parquet(src).count()
+    assert out.count() == n_docs
+    assert out.where("status = 'ok'").count() == n_docs
