@@ -87,8 +87,9 @@ def worker(cores: int, corpus_path: str, replicate: int) -> None:
     from py_pdf_parser_spark.session import get_spark
 
     spark = get_spark(cores=cores, app_name=f"bench-worker-{cores}")
-    # Warm-up pass (JIT, Arrow init) then measured pass.
-    _run_extraction(spark, corpus_path)
+    # Warm-up: the IDENTICAL job once (spins up every Python worker,
+    # compiles codegen, initializes Arrow) — then the measured pass.
+    _run_extraction(spark, corpus_path, replicate=replicate)
     docs, spans, sec = _run_extraction(spark, corpus_path,
                                        replicate=replicate)
     print(json.dumps({"cores": cores, "docs": docs, "spans": spans,
@@ -96,20 +97,25 @@ def worker(cores: int, corpus_path: str, replicate: int) -> None:
     spark.stop()
 
 
-# Target job length at the SMALL parallelism level, assuming the kernel
-# sustains roughly KERNEL_DOCS_PER_SEC_CORE docs/sec/core.
-TARGET_SMALL_SEC = 30
-KERNEL_DOCS_PER_SEC_CORE = 2000
+# Target job length at the SMALL parallelism level, assuming the pipeline
+# sustains roughly PIPE_DOCS_PER_SEC_CORE docs/sec/core end to end.
+TARGET_SMALL_SEC = 25
+PIPE_DOCS_PER_SEC_CORE = 5000
 
 
 def _scaling(corpus_path: str, corpus_docs: int,
              n_small: int = 8, n_big: int = 32) -> dict:
-    target_docs = TARGET_SMALL_SEC * KERNEL_DOCS_PER_SEC_CORE * n_small
+    target_docs = TARGET_SMALL_SEC * PIPE_DOCS_PER_SEC_CORE * n_small
     replicate = max(1, round(target_docs / max(corpus_docs, 1)))
     results = {}
     for cores in (n_small, n_big):
+        # taskset pins the whole JVM+Python-worker tree to `cores` CPUs —
+        # in unpinned local mode the "small" run would borrow free cores
+        # for its Python workers, inflating the baseline (a real cluster
+        # of N executors confines both JVM and Python).
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, os.path.abspath(__file__), "--worker",
              str(cores), corpus_path, str(replicate)],
             capture_output=True, text=True, timeout=1800,
         )

@@ -126,7 +126,7 @@ class Doc:
         x1a = np.asarray(x1, dtype=np.float64)
         y0a = np.asarray(y0, dtype=np.float64)
         y1a = np.asarray(y1, dtype=np.float64)
-        if np.any(x1a < x0a) or np.any(y1a < y0a):
+        if (x1a < x0a).any() or (y1a < y0a).any():
             raise InvalidCoordinatesError(f"doc {doc_id}: box with x1<x0 or y1<y0")
         offset_arr = (
             np.arange(n, dtype=np.int64)
@@ -142,69 +142,135 @@ class Doc:
         self.y0 = y0a[order]
         self.y1 = y1a[order]
         self.offset = offset_arr[order]
-        text_arr = np.asarray(list(text), dtype=object)
-        self.text_raw = text_arr[order]
-        kind_arr = (
-            np.asarray(["text"] * n, dtype=object)
-            if kind is None
-            else np.asarray(list(kind), dtype=object)
-        )
-        self.kind = kind_arr[order]
-        mr = (
-            np.asarray([None] * n, dtype=object)
-            if media_ref is None
-            else np.asarray(list(media_ref), dtype=object)
-        )
-        self.media_ref = mr[order]
+        if not isinstance(text, np.ndarray):
+            text = np.asarray(list(text), dtype=object)
+        self.text_raw = text[order]
+        if kind is None:
+            self.kind = np.full(n, "text", dtype=object)
+        else:
+            if not isinstance(kind, np.ndarray):
+                kind = np.asarray(list(kind), dtype=object)
+            self.kind = kind[order]
+        if media_ref is None:
+            self.media_ref = np.full(n, None, dtype=object)
+        else:
+            if not isinstance(media_ref, np.ndarray):
+                media_ref = np.asarray(list(media_ref), dtype=object)
+            self.media_ref = media_ref[order]
 
-        fn = (
-            np.asarray(["fake_font"] * n, dtype=object)
-            if font_name is None
-            else np.asarray(list(font_name), dtype=object)
-        )
-        self.font_name = fn[order]
-        raw_sizes = [10] * n if font_size is None else list(font_size)
-        raw_sizes = [raw_sizes[i] for i in order]
-        # Python round: half-to-even; int input stays int (load-bearing for
-        # the font string, components.py:208-210,231).
-        rounded = [round(s, font_size_precision) for s in raw_sizes]
-        self.font_size = np.asarray([float(s) for s in rounded], dtype=np.float64)
-        self._font_size_repr = [_python_format_size(s) for s in rounded]
-
-        self.font = self._map_fonts(
-            font_mapping or {}, font_mapping_is_regex, regex_flags
-        )
+        # Fonts are computed lazily (most recipes never touch them) —
+        # exactly like the reference's memoized properties
+        # (components.py:171-183,197-211,228-238), but batched.
+        self._order = order
+        self._font_name_in = font_name
+        self._font_size_in = font_size
+        self._font_mapping = font_mapping or {}
+        self._font_mapping_is_regex = font_mapping_is_regex
+        self._regex_flags = regex_flags
+        self._font_size_precision = font_size_precision
+        self._font_name = None
+        self._font_size = None
+        self._font_size_repr_memo = None
+        self._font = None
+        self._tags = None
+        self._text_stripped = None
+        self._sectioning = None
+        self._page_numbers = None
 
         self.n = n
         self.ignored = np.zeros(n, dtype=bool)
-        self.tags: List[set] = [set() for _ in range(n)]
 
         # Page registry: width/height per page + NoElementsOnPageError for
-        # declared-but-empty pages (components.py:426-429).
+        # declared-but-empty pages (components.py:426-429).  The scan is
+        # only needed when pages are declared explicitly.
         self._page_width = page_width
         self._page_height = page_height
-        present = set(int(p) for p in self.page)
-        declared = (
-            set(int(p) for p in all_page_numbers)
-            if all_page_numbers is not None
-            else present
-        )
-        for p in sorted(declared):
-            if p not in present:
-                raise NoElementsOnPageError(
-                    f"No elements on page {p}, please exclude this page"
-                )
-        self.page_numbers = sorted(present)
+        if all_page_numbers is not None:
+            present = set(int(p) for p in self.page)
+            for p in sorted(set(int(p) for p in all_page_numbers)):
+                if p not in present:
+                    raise NoElementsOnPageError(
+                        f"No elements on page {p}, please exclude this page"
+                    )
 
+    # -- lazy memoized columns ------------------------------------------------
+
+    @property
+    def page_numbers(self) -> list:
+        if self._page_numbers is None:
+            self._page_numbers = [int(p) for p in np.unique(self.page)]
+        return self._page_numbers
+
+    @property
+    def font_name(self) -> np.ndarray:
+        if self._font_name is None:
+            fn = self._font_name_in
+            if fn is None:
+                self._font_name = np.full(self.n, "fake_font", dtype=object)
+            else:
+                if not isinstance(fn, np.ndarray):
+                    fn = np.asarray(list(fn), dtype=object)
+                self._font_name = fn[self._order]
+        return self._font_name
+
+    def _rounded_sizes(self) -> list:
+        sizes = self._font_size_in
+        if sizes is None:
+            sizes = [10] * self.n
+        else:
+            sizes = list(sizes)
+        sizes = [sizes[i] for i in self._order]
+        # Python round: half-to-even; int input stays int (load-bearing for
+        # the font string, components.py:208-210,231).
+        return [round(s, self._font_size_precision) for s in sizes]
+
+    @property
+    def font_size(self) -> np.ndarray:
+        if self._font_size is None:
+            self._font_size = np.asarray(
+                [float(s) for s in self._rounded_sizes()], dtype=np.float64
+            )
+        return self._font_size
+
+    @property
+    def _font_size_repr(self) -> list:
+        if self._font_size_repr_memo is None:
+            self._font_size_repr_memo = [
+                _python_format_size(s) for s in self._rounded_sizes()
+            ]
+        return self._font_size_repr_memo
+
+    @property
+    def font(self) -> np.ndarray:
+        if self._font is None:
+            self._font = self._map_fonts(
+                self._font_mapping, self._font_mapping_is_regex, self._regex_flags
+            )
+        return self._font
+
+    @property
+    def tags(self) -> List[set]:
+        if self._tags is None:
+            self._tags = [set() for _ in range(self.n)]
+        return self._tags
+
+    @property
+    def text_stripped(self) -> np.ndarray:
         # text(stripped=True): Python str.strip (unicode whitespace).
-        self.text_stripped = np.asarray(
-            [t.strip() if isinstance(t, str) else t for t in self.text_raw],
-            dtype=object,
-        )
+        if self._text_stripped is None:
+            self._text_stripped = np.asarray(
+                [t.strip() if isinstance(t, str) else t for t in self.text_raw],
+                dtype=object,
+            )
+        return self._text_stripped
 
-        from .sections import Sectioning  # local import avoids cycle
+    @property
+    def sectioning(self):
+        if self._sectioning is None:
+            from .sections import Sectioning  # local import avoids cycle
 
-        self.sectioning = Sectioning(self)
+            self._sectioning = Sectioning(self)
+        return self._sectioning
 
     # -- construction helpers -------------------------------------------------
 
@@ -279,7 +345,7 @@ class Doc:
     @property
     def elements(self) -> "Elems":
         """All (non-ignored) elements (components.py:444-452)."""
-        return Elems(self, np.arange(self.n, dtype=np.int64))
+        return Elems(self, np.arange(self.n, dtype=np.int64), _presorted=True)
 
     def fonts(self) -> set:
         """Distinct fonts over non-ignored elements (components.py:464-472)."""

@@ -66,6 +66,9 @@ def ora_spans(i: int) -> List[Span]:
     return spans
 
 
+_ORA_FONT_NAMES = np.asarray(["f0", "f1", "f2"], dtype=object)
+
+
 def ora_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
     o = offsets.astype(np.int64)
     r = (o % 6) // 3
@@ -75,8 +78,10 @@ def ora_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
     y0 = (70 - r * 40 + (i % 3)).astype(np.float64)
     y1 = y0 + 8 + (o % 5)
     page = 1 + o // 6
-    font_name = np.asarray([f"f{(int(v) + i) % 3}" for v in o], dtype=object)
-    font_size = [8 + ((int(v) * (i % 11)) % 4) for v in o]  # python ints
+    font_name = _ORA_FONT_NAMES[(o + i) % 3]
+    # int64 sizes: str(np.int64(8)) == "8", matching python int repr in the
+    # font string (Doc._font_size_repr).
+    font_size = 8 + ((o * (i % 11)) % 4)
     return dict(
         page=page, x0=x0, x1=x1, y0=y0, y1=y1,
         font_name=font_name, font_size=font_size,

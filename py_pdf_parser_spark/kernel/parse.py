@@ -20,34 +20,25 @@ from .doc import Doc
 from .layout import config_for, layout_for
 
 
-def doc_from_spans(
+def doc_from_arrays(
     doc_id: str,
-    spans: Iterable[Union[Mapping, Sequence]],
+    kinds,
+    texts,
+    refs,
+    offsets: np.ndarray,
     config: Optional[dict] = None,
 ) -> Doc:
-    """Build an ordered Doc from one input row's spans array.
+    """Build an ordered Doc from pre-flattened span field arrays.
 
-    ``spans`` items are (kind, text, media_ref, offset) structs — dicts or
-    sequences in that field order.
+    The Arrow fast path: the pipeline flattens a whole batch's span
+    structs into flat columns once (C-level) and hands per-document
+    slices here — no per-span Python objects are created.
     """
-    kinds, texts, refs, offsets = [], [], [], []
-    for s in spans:
-        if isinstance(s, Mapping):
-            kinds.append(s["kind"])
-            texts.append(s["text"])
-            refs.append(s["media_ref"])
-            offsets.append(s["offset"])
-        else:
-            k, t, m, o = s
-            kinds.append(k)
-            texts.append(t)
-            refs.append(m)
-            offsets.append(o)
     offsets_arr = np.asarray(offsets, dtype=np.int64)
     layout = layout_for(doc_id, offsets_arr)
-    cfg = dict(config_for(doc_id))
+    cfg = config_for(doc_id)
     if config:
-        cfg.update(config)
+        cfg = {**cfg, **config}
     return Doc(
         doc_id,
         page=layout["page"],
@@ -64,4 +55,34 @@ def doc_from_spans(
         page_width=layout["page_width"],
         page_height=layout["page_height"],
         **cfg,
+    )
+
+
+def doc_from_spans(
+    doc_id: str,
+    spans: Iterable[Union[Mapping, Sequence]],
+    config: Optional[dict] = None,
+) -> Doc:
+    """Build an ordered Doc from one input row's spans array.
+
+    ``spans`` items are (kind, text, media_ref, offset) structs — dicts or
+    sequences in that field order (type checked once, not per span).
+    """
+    spans = list(spans)
+    if spans and isinstance(spans[0], Mapping):
+        kinds = [s["kind"] for s in spans]
+        texts = [s["text"] for s in spans]
+        refs = [s["media_ref"] for s in spans]
+        offsets = [s["offset"] for s in spans]
+    else:
+        kinds, texts, refs, offsets = (
+            list(col) for col in zip(*spans)
+        ) if spans else ([], [], [], [])
+    return doc_from_arrays(
+        doc_id,
+        np.asarray(kinds, dtype=object),
+        np.asarray(texts, dtype=object),
+        np.asarray(refs, dtype=object),
+        np.asarray(offsets, dtype=np.int64),
+        config=config,
     )

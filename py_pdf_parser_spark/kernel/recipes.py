@@ -27,13 +27,19 @@ OutSpan = Tuple[str, Optional[str], Optional[str]]  # kind, text, media_ref
 
 
 def default_recipe(doc: Doc) -> List[OutSpan]:
-    out: List[OutSpan] = []
-    for i in doc.elements:
-        if doc.kind[i] == "media":
-            out.append(("media", None, doc.media_ref[i]))
-        else:
-            out.append(("text", doc.text_of(i), None))
-    return out
+    # Arrays are already in idx order; the non-ignored mask is almost
+    # always all-true at parse time, so take the vectorized fast path.
+    if doc.ignored.any():
+        live = ~doc.ignored
+        kinds = doc.kind[live]
+        texts = doc.text_stripped[live]
+        refs = doc.media_ref[live]
+    else:
+        kinds, texts, refs = doc.kind, doc.text_stripped, doc.media_ref
+    return [
+        (k, None, m) if k == "media" else (k, t, None)
+        for k, t, m in zip(kinds, texts, refs)
+    ]
 
 
 def memo_recipe(doc: Doc) -> List[OutSpan]:

@@ -26,16 +26,15 @@ Design (SURVEY.md §3.1, §4):
 from __future__ import annotations
 
 import time
-from typing import Iterator, List, Optional
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .errors import DocError
-from .kernel.doc import Doc
-from .kernel.parse import doc_from_spans
+from .kernel.parse import doc_from_arrays
 from .kernel.recipes import recipe_for
 from .schema import (
     ELEMENTS_SCHEMA,
@@ -45,98 +44,219 @@ from .schema import (
 )
 
 # ---------------------------------------------------------------------------
-# parse: documents(doc_id, spans) -> exploded elements
+# Arrow batch plumbing.  The hot path is mapInArrow: span structs are
+# flattened to columnar arrays ONCE per batch (C-level); per-document
+# kernels get numpy slices; output span sequences are reassembled into a
+# ListArray(StructArray) directly from flat arrays — zero per-span Python
+# objects in either direction.
 # ---------------------------------------------------------------------------
 
 
-def _doc_to_element_columns(doc: Doc) -> dict:
-    n = doc.n
-    return {
-        "doc_id": np.repeat(doc.doc_id, n),
-        "idx": np.arange(n, dtype=np.int64),
-        "page_number": doc.page,
-        "page_width": np.asarray([doc.page_width(int(p)) for p in doc.page]),
-        "page_height": np.asarray([doc.page_height(int(p)) for p in doc.page]),
-        "x0": doc.x0,
-        "x1": doc.x1,
-        "y0": doc.y0,
-        "y1": doc.y1,
-        "text": doc.text_stripped,
-        "font_name": doc.font_name,
-        "font_size": doc.font_size,
-        "font": doc.font,
-        "kind": doc.kind,
-        "media_ref": doc.media_ref,
-    }
+def _flatten_span_batch(batch: pa.RecordBatch):
+    """-> (doc_ids, list_offsets, kind/text/ref/off flat arrays)."""
+    doc_ids = batch.column(0).to_pylist()
+    spans = batch.column(1)
+    offs = spans.offsets.to_numpy()
+    vals = spans.values
+    kinds = vals.field("kind").to_numpy(zero_copy_only=False)
+    texts = vals.field("text").to_numpy(zero_copy_only=False)
+    refs = vals.field("media_ref").to_numpy(zero_copy_only=False)
+    offsets = vals.field("offset").to_numpy(zero_copy_only=False)
+    return doc_ids, offs, kinds, texts, refs, offsets
 
 
-def parse_elements_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One Arrow batch of (doc_id, spans) -> element rows (pure pandas)."""
-    cols: dict = {name: [] for name in (
+def _iter_docs(batch: pa.RecordBatch):
+    """Yield (pos, doc_id, Doc-or-DocError) per document in the batch."""
+    doc_ids, offs, kinds, texts, refs, offsets = _flatten_span_batch(batch)
+    for pos, doc_id in enumerate(doc_ids):
+        lo, hi = offs[pos], offs[pos + 1]
+        try:
+            doc = doc_from_arrays(
+                doc_id, kinds[lo:hi], texts[lo:hi], refs[lo:hi],
+                offsets[lo:hi],
+            )
+        except DocError as err:
+            yield pos, doc_id, err
+            continue
+        yield pos, doc_id, doc
+
+
+# ---------------------------------------------------------------------------
+# parse: documents(doc_id, spans) -> exploded elements
+# ---------------------------------------------------------------------------
+
+_ELEMENTS_ARROW = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("idx", pa.int64()),
+        ("page_number", pa.int64()),
+        ("page_width", pa.float64()),
+        ("page_height", pa.float64()),
+        ("x0", pa.float64()),
+        ("x1", pa.float64()),
+        ("y0", pa.float64()),
+        ("y1", pa.float64()),
+        ("text", pa.string()),
+        ("font_name", pa.string()),
+        ("font_size", pa.float64()),
+        ("font", pa.string()),
+        ("kind", pa.string()),
+        ("media_ref", pa.string()),
+        ("tags", pa.list_(pa.string())),
+        ("ignored", pa.bool_()),
+    ]
+)
+
+
+def parse_elements_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    cols = {name: [] for name in (
         "doc_id", "idx", "page_number", "page_width", "page_height",
         "x0", "x1", "y0", "y1", "text", "font_name", "font_size", "font",
         "kind", "media_ref",
     )}
-    for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-        try:
-            doc = doc_from_spans(doc_id, spans)
-        except DocError:
+    for _, doc_id, doc in _iter_docs(batch):
+        if isinstance(doc, DocError):
             continue  # parse-stage errors surface via extract_spans status
-        for k, v in _doc_to_element_columns(doc).items():
-            cols[k].append(v)
-    if not cols["doc_id"]:
-        return pd.DataFrame(
-            {f.name: pd.Series(dtype=object) for f in ELEMENTS_SCHEMA.fields}
+        n = doc.n
+        pw, ph = doc._page_width, doc._page_height
+        cols["doc_id"].append(np.full(n, doc_id, dtype=object))
+        cols["idx"].append(np.arange(n, dtype=np.int64))
+        cols["page_number"].append(doc.page)
+        cols["page_width"].append(
+            np.full(n, pw) if not isinstance(pw, dict)
+            else np.asarray([pw[int(p)] for p in doc.page])
         )
-    out = {k: np.concatenate(v) for k, v in cols.items()}
-    n = len(out["doc_id"])
-    out["tags"] = [[] for _ in range(n)]
-    out["ignored"] = np.zeros(n, dtype=bool)
-    return pd.DataFrame(out)
+        cols["page_height"].append(
+            np.full(n, ph) if not isinstance(ph, dict)
+            else np.asarray([ph[int(p)] for p in doc.page])
+        )
+        cols["x0"].append(doc.x0)
+        cols["x1"].append(doc.x1)
+        cols["y0"].append(doc.y0)
+        cols["y1"].append(doc.y1)
+        cols["text"].append(doc.text_stripped)
+        cols["font_name"].append(doc.font_name)
+        cols["font_size"].append(doc.font_size)
+        cols["font"].append(doc.font)
+        cols["kind"].append(doc.kind)
+        cols["media_ref"].append(doc.media_ref)
+    if cols["doc_id"]:
+        flat = {k: np.concatenate(v) for k, v in cols.items()}
+        n_rows = len(flat["doc_id"])
+    else:
+        flat = {k: np.empty(0, dtype=object) for k in cols}
+        n_rows = 0
+    arrays = [
+        pa.array(flat[f.name], type=f.type, from_pandas=True)
+        for f in _ELEMENTS_ARROW
+        if f.name not in ("tags", "ignored")
+    ]
+    empty_tags = pa.ListArray.from_arrays(
+        pa.array(np.zeros(n_rows + 1, dtype=np.int32)),
+        pa.array([], type=pa.string()),
+    )
+    arrays.append(empty_tags)
+    arrays.append(pa.array(np.zeros(n_rows, dtype=bool)))
+    return pa.RecordBatch.from_arrays(arrays, schema=_ELEMENTS_ARROW)
 
 
 def parse_elements(docs_df: DataFrame) -> DataFrame:
     """documents -> elements DataFrame (the §1.2 working table)."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield parse_elements_batch(pdf)
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield parse_elements_arrow_batch(batch)
 
-    return docs_df.select("doc_id", "spans").mapInPandas(gen, ELEMENTS_SCHEMA)
+    return docs_df.select("doc_id", "spans").mapInArrow(gen, ELEMENTS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
 # extract: documents -> output spans (the full per-doc recipe)
 # ---------------------------------------------------------------------------
 
+_EXTRACT_ARROW_FIELDS = [
+    ("doc_id", pa.string()),
+    (
+        "spans",
+        pa.list_(
+            pa.struct(
+                [
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("order", pa.int32()),
+                ]
+            )
+        ),
+    ),
+    ("n_spans", pa.int64()),
+    ("status", pa.string()),
+    ("error", pa.string()),
+]
 
-def extract_batch(pdf: pd.DataFrame, passthrough: List[str]) -> pd.DataFrame:
-    rows = {
-        "doc_id": [], "spans": [], "n_spans": [], "status": [], "error": [],
-        **{c: [] for c in passthrough},
-    }
-    for pos, (doc_id, spans) in enumerate(zip(pdf["doc_id"], pdf["spans"])):
-        try:
-            doc = doc_from_spans(doc_id, spans)
-            recipe = recipe_for(doc_id)
-            out = recipe(doc)
-            out_spans = [
-                {"kind": k, "text": t, "media_ref": m, "order": o}
-                for o, (k, t, m) in enumerate(out)
-            ]
-            rows["spans"].append(out_spans)
-            rows["n_spans"].append(len(out_spans))
-            rows["status"].append("ok")
-            rows["error"].append(None)
-        except DocError as err:
-            rows["spans"].append([])
-            rows["n_spans"].append(0)
-            rows["status"].append("error")
-            rows["error"].append(f"{type(err).__name__}: {err}")
-        rows["doc_id"].append(doc_id)
-        for c in passthrough:
-            rows[c].append(pdf[c].iloc[pos])
-    return pd.DataFrame(rows)
+
+def extract_arrow_batch(
+    batch: pa.RecordBatch, passthrough: List[str]
+) -> pa.RecordBatch:
+    doc_ids: List[str] = []
+    statuses: List[str] = []
+    errors: List[Optional[str]] = []
+    out_kind: List[str] = []
+    out_text: List[Optional[str]] = []
+    out_ref: List[Optional[str]] = []
+    list_offs = np.zeros(batch.num_rows + 1, dtype=np.int32)
+    counts = np.zeros(batch.num_rows, dtype=np.int64)
+
+    row = 0
+    for pos, doc_id, doc in _iter_docs(batch):
+        doc_ids.append(doc_id)
+        if isinstance(doc, DocError):
+            statuses.append("error")
+            errors.append(f"{type(doc).__name__}: {doc}")
+        else:
+            try:
+                out = recipe_for(doc_id)(doc)
+                if out:
+                    ks, ts, ms = zip(*out)
+                    out_kind.extend(ks)
+                    out_text.extend(ts)
+                    out_ref.extend(ms)
+                    counts[row] = len(out)
+                statuses.append("ok")
+                errors.append(None)
+            except DocError as err:
+                statuses.append("error")
+                errors.append(f"{type(err).__name__}: {err}")
+        list_offs[row + 1] = list_offs[row] + counts[row]
+        row += 1
+
+    total = int(list_offs[-1])
+    # order = position within each document's output sequence.
+    order = np.arange(total, dtype=np.int32) - np.repeat(
+        list_offs[:-1].astype(np.int64), counts
+    ).astype(np.int32)
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(out_kind, type=pa.string()),
+            pa.array(out_text, type=pa.string()),
+            pa.array(out_ref, type=pa.string()),
+            pa.array(order),
+        ],
+        names=["kind", "text", "media_ref", "order"],
+    )
+    spans_arr = pa.ListArray.from_arrays(pa.array(list_offs), struct)
+    arrays = [
+        pa.array(doc_ids, type=pa.string()),
+        spans_arr,
+        pa.array(counts),
+        pa.array(statuses, type=pa.string()),
+        pa.array(errors, type=pa.string()),
+    ]
+    names = [n for n, _ in _EXTRACT_ARROW_FIELDS]
+    for col in passthrough:
+        arrays.append(batch.column(batch.schema.get_field_index(col)))
+        names.append(col)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def extract_spans(
@@ -146,12 +266,12 @@ def extract_spans(
     passthrough = ["bucket"] if with_bucket else []
     schema = EXTRACTED_BUCKETED_SCHEMA if with_bucket else EXTRACTED_SCHEMA
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield extract_batch(pdf, passthrough)
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield extract_arrow_batch(batch, passthrough)
 
     cols = ["doc_id", "spans"] + passthrough
-    return docs_df.select(*cols).mapInPandas(gen, schema)
+    return docs_df.select(*cols).mapInArrow(gen, schema)
 
 
 # ---------------------------------------------------------------------------

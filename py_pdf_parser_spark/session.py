@@ -28,14 +28,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow transfer for pandas UDF kernels; batch size bounds kernel
-        # memory per task (docs rows can be wide: whole span arrays).
+        # Arrow transfer for pandas UDF kernels.  Batch size is
+        # load-bearing: small batches (e.g. 512) make the JVM<->Python
+        # round-trip dominate and anti-scale under concurrency (measured:
+        # 3x slower at local[32] vs 8192).  8192 docs x ~20 spans is
+        # ~10-20 MB per batch — well within worker memory.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # Input split sizing: keep scan tasks balanced at scale.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Single-JVM local mode hosts all executor threads: GC pressure
+        # at high core counts needs a big heap (measured: 8g heap cost
+        # 1.5x at local[32]).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
     return builder.getOrCreate()

@@ -22,7 +22,9 @@ def test_stream_extract_processes_files(spark, tmp_path):
     src = ensure_mixed_corpus(0.001)
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
-    shutil.copy(src, f"{in_dir}/part-0.parquet")
+    for name in os.listdir(src):
+        if name.endswith(".parquet"):
+            shutil.copy(os.path.join(src, name), os.path.join(in_dir, name))
 
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
