@@ -222,11 +222,20 @@ def main() -> None:
     docs, spans, sec = _run_extraction(spark, flat)
     flagship = {"docs": docs, "spans": spans, "sec": sec}
 
-    # Skew comparison.
-    _, _, skew_plain = _run_extraction(spark, skewed, rebal=False)
-    _, _, skew_rebal = _run_extraction(spark, skewed, rebal=True)
+    # Skew comparison at a meaningful job length (~200k docs): the skew
+    # corpus clusters pathological docs into their own files, so without
+    # rebalance the tasks owning those files are stragglers.
+    skew_rep = max(1, 200_000 // max(docs, 1))
+    _run_extraction(spark, skewed, rebal=False, replicate=skew_rep)  # warm
+    _, _, skew_plain = _run_extraction(
+        spark, skewed, rebal=False, replicate=skew_rep
+    )
+    _, _, skew_rebal = _run_extraction(
+        spark, skewed, rebal=True, replicate=skew_rep
+    )
+    _, _, flat_cmp = _run_extraction(spark, flat, replicate=skew_rep)
     skew = {
-        "flat_sec": sec,
+        "flat_sec": flat_cmp,
         "skew_plain_sec": skew_plain,
         "skew_rebal_sec": skew_rebal,
     }

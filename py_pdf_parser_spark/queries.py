@@ -775,7 +775,7 @@ def td_simhash(spark, sf_dir):
     _SHINGLES_DUCK
     + """,
 blk AS (
-  SELECT sh.doc_id, sh.shingles, length(d.text) // 64 AS blk
+  SELECT sh.doc_id, sh.shingles, length(d.text) // 16 AS blk
   FROM sh JOIN documents d ON sh.doc_id = d.doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

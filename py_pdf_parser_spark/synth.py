@@ -131,9 +131,6 @@ def _mixed_rows(n_docs: int, skew: bool) -> Iterator[Row]:
         "media": int(n_docs * 0.10),
     }
     counts["ordsum"] = n_docs - sum(counts.values()) - 2 * n_patho
-    if skew:
-        counts["bigdoc"] = n_patho
-        counts["bigmedia"] = n_patho
 
     # Deterministic interleave across families WITHOUT materializing all
     # rows: round-robin weighted by a stable per-doc_id sort key within
@@ -157,6 +154,13 @@ def _mixed_rows(n_docs: int, skew: bool) -> Iterator[Row]:
             window.sort(key=lambda r: zlib.crc32(r[0].encode()))
             yield from window
             window.clear()
+    if n_patho:
+        # Pathological docs are CLUSTERED at the tail (their own files),
+        # like a crawl segment of heavy PDFs — this is the task-level skew
+        # that rebalance() must break up; uniformly interleaving them
+        # would hide the problem.
+        yield from _iter_rows("bigdoc", n_patho)
+        yield from _iter_rows("bigmedia", n_patho)
 
 
 def ensure_mixed_corpus(sf: float, skew: bool = False) -> str:

@@ -57,17 +57,24 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """MinHash signature rows (doc_id, k, minhash) — narrow, no shuffle."""
+    """MinHash signature rows (doc_id, k, minhash) — narrow, no shuffle.
+
+    The md5 base hash is computed once per shingle; the k affine
+    permutations then run over the integer array (8x fewer md5 calls).
+    """
     sh = shingles(docs, n)
+    hashed = sh.where(F.size("shingles") > 0).select(
+        "doc_id",
+        F.expr(f"transform(shingles, s -> {_h('s')})").alias("hs"),
+    )
     sig_cols = []
     for k, (a, b) in enumerate(MINHASH_PARAMS):
         mh = F.expr(
-            f"array_min(transform(shingles, s -> ({a} * {_h('s')} + {b}) % {MERSENNE}))"
+            f"array_min(transform(hs, h -> ({a} * h + {b}) % {MERSENNE}))"
         ).cast("long")
         sig_cols.append(F.struct(F.lit(k).alias("k"), mh.alias("minhash")))
     return (
-        sh.where(F.size("shingles") > 0)
-        .select("doc_id", F.explode(F.array(*sig_cols)).alias("s"))
+        hashed.select("doc_id", F.explode(F.array(*sig_cols)).alias("s"))
         .select("doc_id", F.col("s.k").alias("k"), F.col("s.minhash").alias("minhash"))
     )
 
@@ -98,7 +105,7 @@ def lsh_candidate_pairs(docs: DataFrame, rows_per_band: int = 2) -> DataFrame:
 
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
-    block_chars: int = 64,
+    block_chars: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard within cheap length blocks.
 
