@@ -295,6 +295,30 @@ class ElementFrame:
             .drop("_rn")
         )
 
+    def move_from(self, anchors: "ElementFrame", count: int = 1) -> "ElementFrame":
+        """move_forwards/backwards_from analogue (filtering.py:877-942):
+        for each anchor, the element ``count`` positions away WITHIN this
+        (filtered) frame's per-doc order.  Out-of-range anchors drop out
+        (the DataFrame analogue of ElementOutOfRangeError).  Window
+        row_number + broadcast join on the shifted rank."""
+        w = Window.partitionBy("doc_id").orderBy(F.col("idx").asc())
+        ranked = self.df.withColumn("_rn", F.row_number().over(w))
+        anchor_ranks = F.broadcast(
+            ranked.join(
+                anchors.df.select("doc_id", "idx"), ["doc_id", "idx"], "leftsemi"
+            ).select("doc_id", (F.col("_rn") + count).alias("_target"))
+        )
+        out = (
+            ranked.join(
+                anchor_ranks,
+                (ranked["doc_id"] == anchor_ranks["doc_id"])
+                & (ranked["_rn"] == anchor_ranks["_target"]),
+            )
+            .drop(anchor_ranks["doc_id"])
+            .drop("_rn", "_target")
+        )
+        return self._with(out)
+
     def nth_per_doc(self, n: int) -> "ElementFrame":
         """0-based __getitem__ analogue (filtering.py:1041-1053)."""
         w = Window.partitionBy("doc_id").orderBy(F.col("idx").asc())

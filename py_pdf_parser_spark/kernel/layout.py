@@ -195,6 +195,37 @@ def ordsum_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# gridmerge family — element spanning multiple rows (tables.py:350-356
+# diagram); exercises extract_table(fix_element_in_multiple_rows=True).
+# ---------------------------------------------------------------------------
+
+_GRIDMERGE_SPEC = [
+    # (text, x0, x1, y0, y1): B spans both rows.
+    ("A", 0, 5, 10, 15),
+    ("B", 6, 10, 4, 14),
+    ("C", 0, 5, 4, 8),
+]
+
+
+def gridmerge_spans(i: int) -> List[Span]:
+    return [("text", row[0], None, o) for o, row in enumerate(_GRIDMERGE_SPEC)]
+
+
+def gridmerge_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
+    rows = [_GRIDMERGE_SPEC[int(o)] for o in offsets]
+    return dict(
+        page=np.ones(len(rows), dtype=np.int64),
+        x0=np.asarray([r[1] for r in rows], dtype=np.float64),
+        x1=np.asarray([r[2] for r in rows], dtype=np.float64),
+        y0=np.asarray([r[3] for r in rows], dtype=np.float64),
+        y1=np.asarray([r[4] for r in rows], dtype=np.float64),
+        font_name=np.asarray(["fake_font"] * len(rows), dtype=object),
+        font_size=[10] * len(rows),
+        page_width=100.0, page_height=100.0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # media family — interleaved text+media, stacked layout.
 # ---------------------------------------------------------------------------
 
@@ -284,6 +315,7 @@ SPAN_BUILDERS = {
     "ora": ora_spans,
     "memo": memo_spans,
     "ordsum": ordsum_spans,
+    "gridmerge": gridmerge_spans,
     "media": media_spans,
     "bigdoc": bigdoc_spans,
     "bigmedia": bigmedia_spans,
@@ -293,6 +325,7 @@ LAYOUT_BUILDERS = {
     "ora": ora_layout,
     "memo": memo_layout,
     "ordsum": ordsum_layout,
+    "gridmerge": gridmerge_layout,
     "media": media_layout,
     "bigdoc": bigdoc_layout,
     "bigmedia": bigmedia_layout,

@@ -614,6 +614,77 @@ def pp_ordsum_table(spark, sf_dir):
     )
 
 
+@q(
+    "pp_gridmerge_table",
+    """
+SELECT d.doc_id, CAST(v.row_id AS BIGINT) AS row_id,
+       CAST(v.col_id AS BIGINT) AS col_id, v.value
+FROM read_parquet('{gridmerge_path}/*.parquet') d
+CROSS JOIN (VALUES (0, 0, 'A'), (0, 1, 'B'), (1, 0, 'C'), (1, 1, ''))
+    AS v(row_id, col_id, value)""",
+)
+def pp_gridmerge_table(spark, sf_dir):
+    """extract_table with a row-spanning element: union-find style row
+    fixing (fix_element_in_multiple_rows, tables.py:348-400)."""
+    import pandas as pd
+
+    from .errors import DocError
+    from .kernel.parse import doc_from_spans
+    from .kernel.tables import extract_table
+
+    docs = spark.read.parquet(
+        ensure_family_corpus("gridmerge", sf_of_dir(sf_dir))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "row_id": [], "col_id": [], "value": []}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                try:
+                    doc = doc_from_spans(doc_id, spans)
+                    table = extract_table(
+                        doc.elements, as_text=True,
+                        fix_element_in_multiple_rows=True,
+                    )
+                except DocError:
+                    continue
+                for r, row in enumerate(table):
+                    for c, v in enumerate(row):
+                        rows["doc_id"].append(doc_id)
+                        rows["row_id"].append(r)
+                        rows["col_id"].append(c)
+                        rows["value"].append(v)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, "doc_id string, row_id long, col_id long, value string"
+    )
+
+
+@q(
+    "pp_move_forwards",
+    _ora_cte()
+    + """
+, ranked AS (
+  SELECT doc_id, idx, row_number() OVER (
+      PARTITION BY doc_id ORDER BY idx) AS rn
+  FROM elements WHERE kind = 'text'
+), anch AS (
+  SELECT r.doc_id, r.rn FROM ranked r
+  JOIN elements e ON e.doc_id = r.doc_id AND e.idx = r.idx
+  WHERE e.text = 'HDR:'
+)
+SELECT r.doc_id, r.idx FROM ranked r
+JOIN anch a ON r.doc_id = a.doc_id AND r.rn = a.rn + 2""",
+)
+def pp_move_forwards(spark, sf_dir):
+    """move_forwards_from(count=2) within the text-only filtered list —
+    position shift in the filtered set, not raw idx arithmetic
+    (filtering.py:877-917)."""
+    ef = _ef(spark, sf_dir).filter_by_kind("text")
+    return _keys(ef.move_from(ef.filter_by_text_equal("HDR:"), count=2))
+
+
 # -- multimodal -------------------------------------------------------------------
 
 
@@ -844,12 +915,15 @@ def queries() -> Dict[str, QueryFn]:
 
 
 def oracle_sql() -> Dict[str, str]:
-    memo_path = ensure_family_corpus("memo", ORACLE_SF)
-    ordsum_path = ensure_family_corpus("ordsum", ORACLE_SF)
+    paths = {
+        "memo_path": ensure_family_corpus("memo", ORACLE_SF),
+        "ordsum_path": ensure_family_corpus("ordsum", ORACLE_SF),
+        "gridmerge_path": ensure_family_corpus("gridmerge", ORACLE_SF),
+    }
     ensure_oracle_corpus(ORACLE_SF)
     out = {}
     for name, (_, sql) in REGISTRY.items():
         if sql is None:
             continue
-        out[name] = sql.format(memo_path=memo_path, ordsum_path=ordsum_path)
+        out[name] = sql.format(**paths)
     return out
