@@ -844,18 +844,24 @@ def td_simhash(spark, sf_dir):
 @q(
     "td_ngram_jaccard_pairs",
     _SHINGLES_DUCK
-    + """,
+    + f""",
+hsh AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {_H_DUCK.format(s='s')}) AS hs
+  FROM sh
+),
 blk AS (
-  SELECT sh.doc_id, sh.shingles, length(d.text) // 16 AS blk
-  FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+  SELECT h.doc_id, h.hs, length(d.text) // 16 AS blk
+  FROM hsh h JOIN documents d ON h.doc_id = d.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.hs, b.hs)) AS ni,
+         len(a.hs) AS na, len(b.hs) AS nb
+  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.shingles, b.shingles))
-             / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
-           AS jaccard
-FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.shingles, b.shingles))
-      / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.5""",
+SELECT doc_a, doc_b, round(ni / (na + nb - ni), 4) AS jaccard
+FROM pairs WHERE round(ni / (na + nb - ni), 4) >= 0.5""",
 )
 def td_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs_table(spark, sf_dir))

@@ -56,25 +56,44 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", F.expr(expr).alias("shingles"))
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """MinHash signature rows (doc_id, k, minhash) — narrow, no shuffle.
+def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-gram shingles as 32-bit integer hashes (md5-based).
 
-    The md5 base hash is computed once per shingle; the k affine
-    permutations then run over the integer array (8x fewer md5 calls).
+    Hashing once up front shrinks every downstream payload (minhash
+    permutations, pair joins) from strings to int64s.
     """
-    sh = shingles(docs, n)
-    hashed = sh.where(F.size("shingles") > 0).select(
+    return shingles(docs, n).select(
         "doc_id",
         F.expr(f"transform(shingles, s -> {_h('s')})").alias("hs"),
     )
-    sig_cols = []
-    for k, (a, b) in enumerate(MINHASH_PARAMS):
-        mh = F.expr(
-            f"array_min(transform(hs, h -> ({a} * h + {b}) % {MERSENNE}))"
-        ).cast("long")
-        sig_cols.append(F.struct(F.lit(k).alias("k"), mh.alias("minhash")))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash signature rows (doc_id, k, minhash).
+
+    Shape: explode shingle hashes once, then ONE groupBy(doc_id) with k
+    min-aggregates — md5 runs exactly once per shingle (expression-level
+    transforms would be re-inlined k times by the optimizer, measured 8x
+    the cost), and the aggregation is map-side combinable: the shuffle
+    carries k ints per doc per partition.
+    """
+    exploded = (
+        hashed_shingles(docs, n)
+        .select("doc_id", F.explode("hs").alias("h"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"m{k}")
+        for k, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    wide = exploded.groupBy("doc_id").agg(*aggs)
+    sig_cols = [
+        F.struct(
+            F.lit(k).alias("k"), F.col(f"m{k}").cast("long").alias("minhash")
+        )
+        for k in range(len(MINHASH_PARAMS))
+    ]
     return (
-        hashed.select("doc_id", F.explode(F.array(*sig_cols)).alias("s"))
+        wide.select("doc_id", F.explode(F.array(*sig_cols)).alias("s"))
         .select("doc_id", F.col("s.k").alias("k"), F.col("s.minhash").alias("minhash"))
     )
 
@@ -113,24 +132,36 @@ def ngram_jaccard_pairs(
     inside a block (near-identical docs have near-identical lengths), so
     the join never goes quadratic in the corpus.
     """
-    sh = shingles(docs, n).join(
-        docs.select("doc_id", (F.length("text") / block_chars).cast("long").alias("blk")),
+    sh = hashed_shingles(docs, n).join(
+        docs.select(
+            "doc_id",
+            (F.length("text") / block_chars).cast("long").alias("blk"),
+        ),
         "doc_id",
     )
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
-    jac = F.round(inter / union, 4)
-    return (
+    # |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair over int64
+    # arrays (strings already hashed away before the join shuffle).
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    pairs = (
         a.join(b, "blk")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            inter.alias("ni"),
+            F.size(F.col("a.hs")).alias("na"),
+            F.size(F.col("b.hs")).alias("nb"),
+        )
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 4),
         )
         .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
