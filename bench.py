@@ -95,16 +95,10 @@ def worker(cores: int, corpus_path: str, replicate: int) -> None:
 
     spark = get_spark(cores=cores, app_name=f"bench-worker-{cores}")
     # Warm-up: the IDENTICAL job once (spins up every Python worker,
-    # compiles codegen, initializes Arrow) — then two measured passes,
-    # best-of to damp host noise.
+    # compiles codegen, initializes Arrow) — then the measured pass.
     _run_extraction(spark, corpus_path, replicate=replicate)
-    best = None
-    for _ in range(2):
-        docs, spans, sec = _run_extraction(spark, corpus_path,
-                                           replicate=replicate)
-        if best is None or sec < best[2]:
-            best = (docs, spans, sec)
-    docs, spans, sec = best
+    docs, spans, sec = _run_extraction(spark, corpus_path,
+                                       replicate=replicate)
     print(json.dumps({"cores": cores, "docs": docs, "spans": spans,
                       "sec": sec}))
     spark.stop()
@@ -117,11 +111,12 @@ PIPE_DOCS_PER_SEC_CORE = 5000
 
 
 def _scaling(corpus_path: str, corpus_docs: int,
-             n_small: int = 8, n_big: int = 32) -> dict:
+             n_small: int = 8, n_big: int = 32, rounds: int = 2) -> dict:
     target_docs = TARGET_SMALL_SEC * PIPE_DOCS_PER_SEC_CORE * n_small
     replicate = max(1, round(target_docs / max(corpus_docs, 1)))
     results = {}
-    for cores in (n_small, n_big):
+
+    def run(cores: int) -> dict:
         # taskset pins the whole JVM+Python-worker tree to `cores` CPUs —
         # in unpinned local mode the "small" run would borrow free cores
         # for its Python workers, inflating the baseline (a real cluster
@@ -137,7 +132,16 @@ def _scaling(corpus_path: str, corpus_docs: int,
             raise RuntimeError(
                 f"scaling worker {cores} failed: {proc.stderr[-2000:]}"
             )
-        results[cores] = json.loads(last[-1])
+        return json.loads(last[-1])
+
+    # Interleave the two levels across rounds and keep the best pass per
+    # level: host noise windows (shared VM) otherwise bias whichever level
+    # happens to run during them.
+    for _ in range(rounds):
+        for cores in (n_small, n_big):
+            r = run(cores)
+            if cores not in results or r["sec"] < results[cores]["sec"]:
+                results[cores] = r
     tp_small = results[n_small]["docs"] / results[n_small]["sec"]
     tp_big = results[n_big]["docs"] / results[n_big]["sec"]
     eff = tp_big / ((n_big / n_small) * tp_small)

@@ -274,6 +274,35 @@ def extract_spans(
     return docs_df.select(*cols).mapInArrow(gen, schema)
 
 
+def materialize_elements(
+    spark: SparkSession, docs_path: str, out_path: str,
+    bucket_by_doc: int = 0,
+) -> str:
+    """Parse once, query many: write the exploded elements table.
+
+    Catalyst cannot prune columns or push filters through the mapInArrow
+    parse kernel, so every ElementFrame query over raw documents re-runs
+    the parse (twice for anchor joins).  The deployment-shape fix is a
+    materialized elements table: filters and projections then push all
+    the way into the parquet scan, and min/max row-group stats prune
+    pages/fonts for free.  Optionally bucketed by doc_id so per-doc
+    set-algebra joins co-locate without a shuffle.
+    """
+    tune_scan_splits(spark, docs_path)
+    elements = parse_elements(spark.read.parquet(docs_path))
+    if bucket_by_doc:
+        (
+            elements.write.mode("overwrite")
+            .bucketBy(bucket_by_doc, "doc_id")
+            .sortBy("doc_id", "idx")
+            .option("path", out_path)
+            .saveAsTable("elements_bucketed")
+        )
+    else:
+        elements.write.mode("overwrite").parquet(out_path)
+    return out_path
+
+
 # ---------------------------------------------------------------------------
 # skew: cost-aware rebalancing (AQE can't see kernel compute skew)
 # ---------------------------------------------------------------------------
