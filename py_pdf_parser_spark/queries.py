@@ -892,21 +892,95 @@ def emb_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb_table(spark, sf_dir))
 
 
-# LSH ANN: recall-bounded approximate variant — no closed-form SQL oracle
-# (bucketing is part of the algorithm); driver records a rows-only check.
-@q("emb_lsh_topk", None)
+def _sketch_duck(col: str) -> str:
+    """DuckDB mirror of similarity._hyperplane_sketch (deterministic
+    sign-bit LSH; DuckDB lambda index ``i`` is 1-based → dim = i-1)."""
+    bits = []
+    for h in range(similarity.N_HYPERPLANES):
+        proj = (
+            f"list_sum(list_transform({col}, (x, i) -> x * "
+            f"CASE WHEN ((i - 1) * ({h} + 3) + {h} * 7) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END))"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN {2 ** h} ELSE 0 END")
+    return " + ".join(bits)
+
+
+def _emb_lsh_cte() -> str:
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), e AS (
+  SELECT vec_id, emb, CAST({_sketch_duck("emb")} AS BIGINT) AS bucket FROM e0
+)"""
+
+
+@q(
+    "emb_lsh_topk",
+    _emb_lsh_cte()
+    + """, q AS (
+  SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+  FROM e WHERE vec_id < 10
+), j AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(q.q_emb, e.emb), 4) AS cos
+  FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id != q.q_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+      AS rank
+  FROM j
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
+)
 def emb_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb_table(spark, sf_dir))
 
 
-@q("emb_dup_pairs", None)
+@q(
+    "emb_dup_pairs",
+    _emb_lsh_cte()
+    + """, p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9""",
+)
 def emb_dup_pairs(spark, sf_dir):
     return similarity.embedding_dup_pairs(
         _emb_table(spark, sf_dir), threshold=0.9
     )
 
 
-@q("td_lsh_candidate_pairs", None)
+def _lsh_pairs_oracle() -> str:
+    """DuckDB mirror of dedup.lsh_candidate_pairs: wide minhash mins in
+    k order → per-band md5 buckets → bucket self-join."""
+    h = _H_DUCK.format(s="s")
+    mins = ", ".join(
+        f"CAST(list_min(list_transform(shingles, "
+        f"s -> ({a} * {h} + {b}) % {dedup.MERSENNE})) AS BIGINT) AS m{k}"
+        for k, (a, b) in enumerate(dedup.MINHASH_PARAMS)
+    )
+    rows_per_band = 2
+    n_bands = len(dedup.MINHASH_PARAMS) // rows_per_band
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band, md5("
+        + " || ',' || ".join(
+            f"m{band * rows_per_band + j}::VARCHAR"
+            for j in range(rows_per_band)
+        )
+        + ") AS bucket FROM wide"
+        for band in range(n_bands)
+    )
+    return f"""{_SHINGLES_DUCK},
+wide AS (SELECT doc_id, {mins} FROM sh WHERE len(shingles) > 0),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id"""
+
+
+@q("td_lsh_candidate_pairs", _lsh_pairs_oracle())
 def td_lsh_candidate_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_docs_table(spark, sf_dir))
 

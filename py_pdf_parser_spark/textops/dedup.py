@@ -68,6 +68,19 @@ def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def minhash_wide(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Wide MinHash signatures (doc_id, m0..m{k-1}), one row per doc."""
+    exploded = (
+        hashed_shingles(docs, n)
+        .select("doc_id", F.explode("hs").alias("h"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"m{k}")
+        for k, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """MinHash signature rows (doc_id, k, minhash).
 
@@ -77,15 +90,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     the cost), and the aggregation is map-side combinable: the shuffle
     carries k ints per doc per partition.
     """
-    exploded = (
-        hashed_shingles(docs, n)
-        .select("doc_id", F.explode("hs").alias("h"))
-    )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"m{k}")
-        for k, (a, b) in enumerate(MINHASH_PARAMS)
-    ]
-    wide = exploded.groupBy("doc_id").agg(*aggs)
+    wide = minhash_wide(docs, n)
     sig_cols = [
         F.struct(
             F.lit(k).alias("k"), F.col(f"m{k}").cast("long").alias("minhash")
@@ -103,12 +108,33 @@ def lsh_candidate_pairs(docs: DataFrame, rows_per_band: int = 2) -> DataFrame:
 
     Shuffle is on (band, bucket) — tiny keys — then a self-join within
     buckets.  Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    Buckets are built from the wide signature columns in k order — NOT
+    via ``collect_list`` (whose post-shuffle ordering is nondeterministic
+    at scale: two docs with identical signatures could concat in
+    different orders and miss each other) — and with no second groupBy
+    shuffle.
     """
-    sig = minhash_signatures(docs)
+    wide = minhash_wide(docs)
+    n_bands = len(MINHASH_PARAMS) // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{band * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for band in range(n_bands)
+    ]
     banded = (
-        sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.collect_list(F.col("minhash").cast("string")))).alias("bucket"))
+        wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
     a = banded.alias("a")
     b = banded.alias("b")
