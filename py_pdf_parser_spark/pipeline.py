@@ -65,7 +65,7 @@ def _flatten_span_batch(batch: pa.RecordBatch):
     return doc_ids, offs, kinds, texts, refs, offsets
 
 
-def _iter_docs(batch: pa.RecordBatch):
+def _iter_docs(batch: pa.RecordBatch, config: dict = None):
     """Yield (pos, doc_id, Doc-or-DocError) per document in the batch."""
     doc_ids, offs, kinds, texts, refs, offsets = _flatten_span_batch(batch)
     for pos, doc_id in enumerate(doc_ids):
@@ -73,7 +73,7 @@ def _iter_docs(batch: pa.RecordBatch):
         try:
             doc = doc_from_arrays(
                 doc_id, kinds[lo:hi], texts[lo:hi], refs[lo:hi],
-                offsets[lo:hi],
+                offsets[lo:hi], config=config,
             )
         except DocError as err:
             yield pos, doc_id, err
@@ -108,13 +108,15 @@ _ELEMENTS_ARROW = pa.schema(
 )
 
 
-def parse_elements_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+def parse_elements_arrow_batch(
+    batch: pa.RecordBatch, config: dict = None
+) -> pa.RecordBatch:
     cols = {name: [] for name in (
         "doc_id", "idx", "page_number", "page_width", "page_height",
         "x0", "x1", "y0", "y1", "text", "font_name", "font_size", "font",
         "kind", "media_ref",
     )}
-    for _, doc_id, doc in _iter_docs(batch):
+    for _, doc_id, doc in _iter_docs(batch, config):
         if isinstance(doc, DocError):
             continue  # parse-stage errors surface via extract_spans status
         n = doc.n
@@ -160,12 +162,18 @@ def parse_elements_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, schema=_ELEMENTS_ARROW)
 
 
-def parse_elements(docs_df: DataFrame) -> DataFrame:
-    """documents -> elements DataFrame (the §1.2 working table)."""
+def parse_elements(docs_df: DataFrame, config: dict = None) -> DataFrame:
+    """documents -> elements DataFrame (the §1.2 working table).
+
+    ``config`` overrides per-document parse settings (components.py:386-397):
+    ``element_ordering`` (preset name or callable — the reference's custom
+    ordering UDF hook, components.py:409-413), ``font_mapping`` /
+    ``font_mapping_is_regex`` / ``regex_flags`` / ``font_size_precision``.
+    """
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            yield parse_elements_arrow_batch(batch)
+            yield parse_elements_arrow_batch(batch, config)
 
     return docs_df.select("doc_id", "spans").mapInArrow(gen, ELEMENTS_SCHEMA)
 

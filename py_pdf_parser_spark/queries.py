@@ -28,6 +28,7 @@ from .synth import (
     oracle_corpus_path,
     sf_of_dir,
 )
+from . import events as events_ops
 from .textops import analysis, dedup, media, similarity
 
 ORACLE_SF = 0.01  # the driver compares at sf=0.01
@@ -37,8 +38,12 @@ ORACLE_SF = 0.01  # the driver compares at sf=0.01
 # ---------------------------------------------------------------------------
 
 
-def _ora_cte() -> str:
-    """DuckDB mirror of kernel/layout.py::ora_layout + Doc ordering."""
+def _ora_cte(order_sql: str = "page_number, y0 DESC, x0, o") -> str:
+    """DuckDB mirror of kernel/layout.py::ora_layout + Doc ordering.
+
+    ``order_sql`` mirrors the element_ordering preset (components.py:30-43):
+    pages ascending first, then the per-page key, then input offset ``o``
+    (the stable-sort tiebreak)."""
     path = oracle_corpus_path(ORACLE_SF)
     return f"""
 WITH sp AS (
@@ -62,7 +67,7 @@ WITH sp AS (
   SELECT doc_id, kind, text, media_ref, o, page_number, x0, x1, y0, y1, font,
          CAST(row_number() OVER (
              PARTITION BY doc_id
-             ORDER BY page_number, y0 DESC, x0, o) - 1 AS BIGINT) AS idx
+             ORDER BY {order_sql}) - 1 AS BIGINT) AS idx
   FROM e1
 ), hdr AS (
   SELECT doc_id, idx, page_number, x0, x1, y0, y1 FROM elements
@@ -118,6 +123,10 @@ def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -149,6 +158,64 @@ def pp_parse_elements(spark, sf_dir):
         "doc_id", "idx", "page_number", "x0", "x1", "y0", "y1",
         "text", "font", "kind", "media_ref",
     )
+
+
+@q(
+    "pp_ordering_presets",
+    _ora_cte(order_sql="page_number, x0, y0 DESC, o")
+    + """
+SELECT doc_id, idx, text FROM elements WHERE kind = 'text'""",
+)
+def pp_ordering_presets(spark, sf_dir):
+    """Non-default element_ordering preset (components.py:30-43):
+    TOP_TO_BOTTOM_LEFT_TO_RIGHT, per-page key (x0, -y0)."""
+    els = parse_elements(
+        _ora_docs(spark, sf_dir), config={"element_ordering": "T2B_L2R"}
+    )
+    return els.where(F.col("kind") == "text").select("doc_id", "idx", "text")
+
+
+def _custom_ordering(x0, y0):
+    """User-callable ordering (the components.py:409-413 UDF hook):
+    top-to-bottom by the box top edge proxy y0+x0/1000, then x0."""
+    return (-(y0 + x0 / 1000.0), x0)
+
+
+@q(
+    "pp_ordering_custom",
+    _ora_cte(order_sql="page_number, y0 + x0 / 1000.0 DESC, x0, o")
+    + """
+SELECT doc_id, idx, text FROM elements WHERE kind = 'text'""",
+)
+def pp_ordering_custom(spark, sf_dir):
+    els = parse_elements(
+        _ora_docs(spark, sf_dir),
+        config={"element_ordering": _custom_ordering},
+    )
+    return els.where(F.col("kind") == "text").select("doc_id", "idx", "text")
+
+
+@q(
+    "pp_font_mapping_regex",
+    _ora_cte()
+    + """
+SELECT doc_id, idx,
+       CASE WHEN regexp_matches(font, '^f0') THEN 'heading'
+            WHEN regexp_matches(font, '^f[12],(9|10)') THEN 'big'
+            ELSE font END AS font
+FROM elements""",
+)
+def pp_font_mapping_regex(spark, sf_dir):
+    """Regex font_mapping (components.py:213-238): ordered patterns,
+    re.match anchoring, first hit wins, fallback to the raw font."""
+    els = parse_elements(
+        _ora_docs(spark, sf_dir),
+        config={
+            "font_mapping": {"^f0": "heading", "^f[12],(9|10)": "big"},
+            "font_mapping_is_regex": True,
+        },
+    )
+    return els.select("doc_id", "idx", "font")
 
 
 @q(
@@ -950,6 +1017,64 @@ def emb_dup_pairs(spark, sf_dir):
     return similarity.embedding_dup_pairs(
         _emb_table(spark, sf_dir), threshold=0.9
     )
+
+
+# ---------------------------------------------------------------------------
+# event-stream analytics (events table): time windows, sessions, JSON
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ev_windowed_counts",
+    """
+SELECT CAST(floor(epoch(ts)) AS BIGINT) // 300 * 300 AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2""",
+)
+def ev_windowed_counts(spark, sf_dir):
+    return events_ops.windowed_counts(_events_table(spark, sf_dir))
+
+
+@q(
+    "ev_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_s
+FROM s GROUP BY user_id, session_id""",
+)
+def ev_sessionize(spark, sf_dir):
+    return events_ops.sessionize(_events_table(spark, sf_dir))
+
+
+@q(
+    "ev_json_props",
+    """
+WITH k AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+  FROM events
+)
+SELECT k % 10 AS k_bucket, COUNT(*) AS n_events,
+       round(AVG(value), 4) AS avg_value, MAX(k) AS max_k
+FROM k GROUP BY 1""",
+)
+def ev_json_props(spark, sf_dir):
+    return events_ops.json_prop_stats(_events_table(spark, sf_dir))
 
 
 def _lsh_pairs_oracle() -> str:

@@ -9,6 +9,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 # Input (BASELINE.json input_hint shape).
@@ -25,6 +26,18 @@ DOCUMENTS_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
         StructField("spans", ArrayType(SPAN_STRUCT)),
+    ]
+)
+
+# Ingest-telemetry event stream (the driver's events table shape).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
     ]
 )
 

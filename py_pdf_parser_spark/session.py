@@ -25,6 +25,8 @@ def get_spark(
         # Shuffle partitions sized to cores, not the 200 default.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing + skew-join splitting.
+        # Event-time semantics must not depend on the host timezone.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -24,6 +24,44 @@ def read_document_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "ev_windowed_counts",
+    watermark: str = "10 minutes",
+):
+    """Streaming tumbling-window aggregation with event-time watermark.
+
+    The same ``events.windowed_counts`` transformation as batch, under a
+    ``withWatermark`` prefix: Spark keeps window state only until the
+    watermark passes the window end, so state is bounded however long
+    the stream runs — the late-data/stateful-agg path of SURVEY.md §2.10.
+    Results land in an in-memory sink table named ``query_name``
+    (complete mode, so the test can compare against the batch run).
+    """
+    from .events import windowed_counts
+    from .schema import EVENTS_SCHEMA
+
+    from pyspark.sql import functions as F
+
+    # Watermarks require TIMESTAMP (ltz); parquet naive timestamps read
+    # as NTZ.  Session timezone is pinned UTC, so the cast is exact.
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", watermark)
+    )
+    return (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
