@@ -412,17 +412,36 @@ class Elems:
     def __hash__(self) -> int:
         return hash((id(self.doc), self.idx.tobytes()))
 
+    # self.idx is invariantly sorted-unique, so every set op below may
+    # assume uniqueness and hand its (sorted) result straight back via
+    # _presorted — skipping numpy's internal re-sort/re-unique passes.
+    # The ignored-drop in __init__ still applies (filtering.py:95).
+
     def __or__(self, other: "Elems") -> "Elems":
-        return self._wrap(np.union1d(self.idx, other.idx))
+        return Elems(
+            self.doc, np.union1d(self.idx, other.idx), _presorted=True
+        )
 
     def __and__(self, other: "Elems") -> "Elems":
-        return self._wrap(np.intersect1d(self.idx, other.idx))
+        return Elems(
+            self.doc,
+            np.intersect1d(self.idx, other.idx, assume_unique=True),
+            _presorted=True,
+        )
 
     def __sub__(self, other: "Elems") -> "Elems":
-        return self._wrap(np.setdiff1d(self.idx, other.idx))
+        return Elems(
+            self.doc,
+            np.setdiff1d(self.idx, other.idx, assume_unique=True),
+            _presorted=True,
+        )
 
     def __xor__(self, other: "Elems") -> "Elems":
-        return self._wrap(np.setxor1d(self.idx, other.idx))
+        return Elems(
+            self.doc,
+            np.setxor1d(self.idx, other.idx, assume_unique=True),
+            _presorted=True,
+        )
 
     def __getitem__(self, key):
         if isinstance(key, slice):
@@ -571,31 +590,39 @@ class Elems:
 
     # -- geometry (components.py:256-304, filtering.py:698-715) --------------
 
+    def _geom(self):
+        """(page, x0, x1, y0, y1) for this list's elements — the gather
+        is skipped when the list covers the whole document (the common
+        case in recipes: directional ops probe from doc.elements)."""
+        d = self.doc
+        if len(self.idx) == d.n:
+            return d.page, d.x0, d.x1, d.y0, d.y1
+        ii = self.idx
+        return d.page[ii], d.x0[ii], d.x1[ii], d.y0[ii], d.y1[ii]
+
     def filter_partially_within_bounding_box(
         self, box: BBox, page_number: int
     ) -> "Elems":
-        d = self.doc
-        ii = self.idx
+        page, x0, x1, y0, y1 = self._geom()
         mask = (
-            (d.page[ii] == page_number)
-            & (box.x0 <= d.x1[ii])
-            & (box.x1 >= d.x0[ii])
-            & (box.y0 <= d.y1[ii])
-            & (box.y1 >= d.y0[ii])
+            (page == page_number)
+            & (box.x0 <= x1)
+            & (box.x1 >= x0)
+            & (box.y0 <= y1)
+            & (box.y1 >= y0)
         )
         return self._mask_to_elems(mask)
 
     def filter_entirely_within_bounding_box(
         self, box: BBox, page_number: int
     ) -> "Elems":
-        d = self.doc
-        ii = self.idx
+        page, x0, x1, y0, y1 = self._geom()
         mask = (
-            (d.page[ii] == page_number)
-            & (d.x0[ii] >= box.x0)
-            & (d.x1[ii] <= box.x1)
-            & (d.y0[ii] >= box.y0)
-            & (d.y1[ii] <= box.y1)
+            (page == page_number)
+            & (x0 >= box.x0)
+            & (x1 <= box.x1)
+            & (y0 >= box.y0)
+            & (y1 <= box.y1)
         )
         return self._mask_to_elems(mask)
 

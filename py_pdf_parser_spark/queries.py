@@ -729,6 +729,94 @@ def pp_gridmerge_table(spark, sf_dir):
 
 
 @q(
+    "pp_table_dup_headers",
+    """
+SELECT d.doc_id, CAST(v.row_id AS BIGINT) AS row_id,
+       CAST(v.col_id AS BIGINT) AS col_id, v.value
+FROM read_parquet('{duphdr_path}/*.parquet') d
+CROSS JOIN (VALUES (0, 0, 'H1'), (0, 1, 'H2'), (1, 0, 'a'), (1, 1, 'b'),
+            (2, 0, 'c'), (2, 1, 'd')) AS v(row_id, col_id, value)""",
+)
+def pp_table_dup_headers(spark, sf_dir):
+    """Multi-page simple table: page-2 repeated header row removed
+    (remove_duplicate_header_rows, tables.py:448-499; column membership
+    spans pages via vertically_in_line_with all_pages)."""
+    import pandas as pd
+
+    from .errors import DocError
+    from .kernel.parse import doc_from_spans
+    from .kernel.tables import extract_simple_table
+
+    docs = spark.read.parquet(
+        ensure_family_corpus("duphdr", sf_of_dir(sf_dir))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "row_id": [], "col_id": [], "value": []}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                try:
+                    doc = doc_from_spans(doc_id, spans)
+                    table = extract_simple_table(
+                        doc.elements, as_text=True,
+                        remove_duplicate_header_rows=True,
+                    )
+                except DocError:
+                    continue
+                for r, row in enumerate(table):
+                    for c, v in enumerate(row):
+                        rows["doc_id"].append(doc_id)
+                        rows["row_id"].append(r)
+                        rows["col_id"].append(c)
+                        rows["value"].append(v)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, "doc_id string, row_id long, col_id long, value string"
+    )
+
+
+@q(
+    "pp_tag_ignore_flow",
+    _ora_cte()
+    + """
+SELECT doc_id, idx, text, (font LIKE 'f0,%') AS tagged
+FROM elements
+WHERE text IS NULL OR NOT contains(text, 'val')""",
+)
+def pp_tag_ignore_flow(spark, sf_dir):
+    """Staged mutation semantics (SURVEY.md §3.4): tag elements by font,
+    then ignore by text; a newly-created list drops ignored elements
+    (filtering.py:95) while tags assigned earlier persist."""
+    import pandas as pd
+
+    from .kernel.parse import doc_from_spans
+
+    docs = _ora_docs(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "idx": [], "text": [], "tagged": []}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                doc = doc_from_spans(doc_id, spans)
+                els = doc.elements
+                els.filter(
+                    lambda i: doc.font[i].startswith("f0,")
+                ).add_tag_to_elements("hdrfont")
+                els.filter_by_text_contains("val").ignore_elements()
+                for i in doc.elements:  # re-created: drops ignored
+                    rows["doc_id"].append(doc_id)
+                    rows["idx"].append(i)
+                    rows["text"].append(doc.text_of(i))
+                    rows["tagged"].append("hdrfont" in doc.tags[i])
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, "doc_id string, idx long, text string, tagged boolean"
+    )
+
+
+@q(
     "pp_move_forwards",
     _ora_cte()
     + """
@@ -1124,6 +1212,7 @@ def oracle_sql() -> Dict[str, str]:
         "memo_path": ensure_family_corpus("memo", ORACLE_SF),
         "ordsum_path": ensure_family_corpus("ordsum", ORACLE_SF),
         "gridmerge_path": ensure_family_corpus("gridmerge", ORACLE_SF),
+        "duphdr_path": ensure_family_corpus("duphdr", ORACLE_SF),
     }
     ensure_oracle_corpus(ORACLE_SF)
     out = {}
