@@ -282,7 +282,7 @@ def media_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
 # pathological families (skew) — BASELINE.json north_star.
 # ---------------------------------------------------------------------------
 
-BIGDOC_PAGES = 300  # 3 spans/page -> 900 spans/doc
+BIGDOC_PAGES = 1600  # 3 spans/page -> 4800 spans/doc (~300x the avg doc)
 
 
 def bigdoc_spans(i: int) -> List[Span]:
@@ -306,7 +306,7 @@ def bigdoc_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
     )
 
 
-BIGMEDIA_N = 200
+BIGMEDIA_N = 600
 
 
 def bigmedia_spans(i: int) -> List[Span]:
@@ -322,6 +322,41 @@ def bigmedia_spans(i: int) -> List[Span]:
 
 def bigmedia_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
     return _stack_layout(offsets, per_page=10)
+
+
+# ---------------------------------------------------------------------------
+# bigtable family — pathological COMPUTE skew: a giant table whose
+# extraction recipe (extract_table) is superlinear in elements, so the
+# doc costs ~100x its bytes.  Byte-bounded scan splits cannot bound this
+# task time (unlike bigdoc's linear re-emission) — the case that needs
+# doc-level rebalancing.
+# ---------------------------------------------------------------------------
+
+BIGTABLE_ROWS = 500
+BIGTABLE_COLS = 6
+
+
+def bigtable_spans(i: int) -> List[Span]:
+    return [
+        ("text", f"r{o // BIGTABLE_COLS}c{o % BIGTABLE_COLS}", None, o)
+        for o in range(BIGTABLE_ROWS * BIGTABLE_COLS)
+    ]
+
+
+def bigtable_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
+    o = offsets.astype(np.int64)
+    r = o // BIGTABLE_COLS
+    c = o % BIGTABLE_COLS
+    x0 = (c * 15).astype(np.float64)
+    y0 = ((BIGTABLE_ROWS - r) * 3).astype(np.float64)
+    n = len(o)
+    return dict(
+        page=np.ones(n, dtype=np.int64),
+        x0=x0, x1=x0 + 10, y0=y0, y1=y0 + 2,
+        font_name=np.asarray(["fake_font"] * n, dtype=object),
+        font_size=[10] * n,
+        page_width=100.0, page_height=float(BIGTABLE_ROWS * 3 + 10),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +401,7 @@ def duphdr_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 SPAN_BUILDERS = {
+    "bigtable": bigtable_spans,
     "duphdr": duphdr_spans,
     "ora": ora_spans,
     "memo": memo_spans,
@@ -377,6 +413,7 @@ SPAN_BUILDERS = {
 }
 
 LAYOUT_BUILDERS = {
+    "bigtable": bigtable_layout,
     "duphdr": duphdr_layout,
     "ora": ora_layout,
     "memo": memo_layout,

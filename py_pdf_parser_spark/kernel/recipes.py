@@ -92,9 +92,19 @@ def ordsum_recipe(doc: Doc) -> List[OutSpan]:
     return out
 
 
+def bigtable_recipe(doc: Doc) -> List[OutSpan]:
+    """Full-table extraction over a giant grid (tables.py:141-254) —
+    superlinear in elements: the pathological compute-skew recipe."""
+    from .tables import extract_table
+
+    table = extract_table(doc.elements, as_text=True)
+    return [("text", "|".join(row), None) for row in table]
+
+
 RECIPES: dict = {
     "memo": memo_recipe,
     "ordsum": ordsum_recipe,
+    "bigtable": bigtable_recipe,
 }
 
 

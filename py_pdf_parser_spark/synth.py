@@ -124,13 +124,13 @@ def ensure_family_corpus(family: str, sf: float) -> str:
 
 
 def _mixed_rows(n_docs: int, skew: bool) -> Iterator[Row]:
-    n_patho = (int(n_docs * 0.005) or 1) if skew else 0
+    n_patho = (int(n_docs * 0.001) or 1) if skew else 0
     counts = {
         "ora": int(n_docs * 0.70),
         "memo": int(n_docs * 0.15),
         "media": int(n_docs * 0.10),
     }
-    counts["ordsum"] = n_docs - sum(counts.values()) - 2 * n_patho
+    counts["ordsum"] = n_docs - sum(counts.values()) - 3 * n_patho
 
     # Deterministic interleave across families WITHOUT materializing all
     # rows: round-robin weighted by a stable per-doc_id sort key within
@@ -161,13 +161,17 @@ def _mixed_rows(n_docs: int, skew: bool) -> Iterator[Row]:
         # would hide the problem.
         yield from _iter_rows("bigdoc", n_patho)
         yield from _iter_rows("bigmedia", n_patho)
+        # bigtable: superlinear-recipe docs — compute skew that byte-
+        # bounded scan splits CANNOT bound (unlike bigdoc/bigmedia).
+        yield from _iter_rows("bigtable", n_patho)
 
 
 def ensure_mixed_corpus(sf: float, skew: bool = False) -> str:
     """Mixed-family corpus: n_docs = 200000 * sf (sf0.1 -> 20000 docs).
 
-    With ``skew=True``, 0.5% of docs are pathological (bigdoc: 900 spans
-    over 300 pages; bigmedia: 200 spans with giant media payloads) — the
+    With ``skew=True``, 0.1% of docs are pathological (bigdoc: 4800 spans
+    over 1600 pages — ~300x the average doc; bigmedia: 600 spans with
+    giant media payloads), clustered into their own files — the
     AQE-invisible compute skew the pipeline's salting must absorb.
     """
     path = mixed_corpus_path(sf, skew)
