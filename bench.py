@@ -124,10 +124,13 @@ def _pin_executors(n_exec: int, cores: int) -> None:
         time.sleep(1)
     if len(execs) != n_exec:
         raise RuntimeError(f"expected {n_exec} executors, found {len(execs)}")
+    # Blocks are allocated from the TOP of the CPU range: CPU 0 handles
+    # most interrupts/system work and measures ~10% slow, which would
+    # bias the small (1-executor) level that always includes block 0.
     for k, pid in enumerate(execs):
+        hi = CPUS - 1 - cores * k
         subprocess.run(
-            ["taskset", "-apc", f"{cores * k}-{cores * k + cores - 1}",
-             str(pid)],
+            ["taskset", "-apc", f"{hi - cores + 1}-{hi}", str(pid)],
             capture_output=True,
         )
 
@@ -162,7 +165,7 @@ def lc_worker(
     _pin_executors(n_exec, cores)
     _run_extraction(spark, corpus_path, replicate=replicate)  # warm
     best = None
-    for _ in range(2):
+    for _ in range(3):
         docs, spans, sec = _run_extraction(
             spark, corpus_path, replicate=replicate
         )
@@ -200,9 +203,10 @@ def _kernel_scaling(corpus_path: str) -> dict:
     isolates how the *host* scales the per-document compute, with no
     JVM/Arrow/scheduling in the loop."""
     def run_once(n_procs: int) -> float:
+        # Top-down CPU choice for the same reason as _pin_executors.
         procs = [
             subprocess.Popen(
-                ["taskset", "-c", str(i), sys.executable,
+                ["taskset", "-c", str(CPUS - 1 - i), sys.executable,
                  os.path.abspath(__file__), "--kernel-worker", corpus_path],
                 stdout=subprocess.PIPE, text=True,
             )
@@ -214,10 +218,13 @@ def _kernel_scaling(corpus_path: str) -> dict:
             total += float(out.strip().splitlines()[-1])
         return total
 
-    def run(n_procs: int) -> float:
-        return max(run_once(n_procs) for _ in range(2))  # best-of (noise)
-
-    tp2, tp8, tp32 = run(2), run(8), run(32)
+    # Interleaved best-of: back-to-back repeats of one level share any
+    # host-noise window and fabricate super/sub-linear artifacts.
+    best = {2: 0.0, 8: 0.0, 32: 0.0}
+    for _ in range(2):
+        for n in (2, 8, 32):
+            best[n] = max(best[n], run_once(n))
+    tp2, tp8, tp32 = best[2], best[8], best[32]
     return {
         "docs_per_sec_2procs": round(tp2, 1),
         "docs_per_sec_8procs": round(tp8, 1),
@@ -324,11 +331,11 @@ def _write_baseline_md(
         "cluster).  Best-of interleaved rounds per level (shared-VM "
         "steal-time noise is ±20% on single passes).",
         "",
-        "### N=1 vs 4N=4 executors × 2 cores (headline)",
+        "### Headline: N=1 vs 4N=4 executors × 2 cores",
         "",
         *_scaling_table(scaling),
         "",
-        "### N=1 vs 4N=4 executors × 8 cores (full box)",
+        "### Full box: N=1 vs 4N=4 executors × 8 cores",
         "",
         *_scaling_table(scaling_fullbox),
         "",
@@ -340,14 +347,16 @@ def _write_baseline_md(
         f"efficiency 2→8: {kernel_ctl['efficiency_2_to_8']}, "
         f"8→32: {kernel_ctl['efficiency_8_to_32']}",
         "",
-        "The 2-core-executor pair is the faithful cluster analogue: it "
-        "leaves the per-executor memory-bandwidth headroom every real "
-        "cluster node has.  The full-box pair saturates this single "
-        "host's shared memory controllers — the kernel control shows the "
-        "same per-core falloff at 32 procs with no Spark in the loop, "
-        "i.e. that shortfall is the box, not the engine (the hot path is "
-        "shuffle-free, so at 1000 real executors the only shared "
-        "resource is the storage scan).",
+        "The 2-core pair is the headline because it measures the ENGINE: "
+        "at 8 of 32 host CPUs each executor keeps the per-node "
+        "memory-bandwidth headroom every real cluster node has (the "
+        "kernel control confirms the hardware itself is ~1.0 efficient "
+        "there).  The full-box pair additionally absorbs this single "
+        "host's shared memory-controller falloff — the control measures "
+        "that hardware ceiling (8→32 procs) with no engine code in the "
+        "loop.  The engine's stages add no cross-executor coupling (the "
+        "hot path is shuffle-free), so at 1000 real executors the only "
+        "shared resource is the storage scan.",
         "",
         "## Skew (pathological docs: 1600-page bigdoc / giant-media "
         "bigmedia, clustered in their own files like a crawl segment)",
@@ -394,7 +403,12 @@ def main() -> None:
     # Skew comparison at a meaningful job length (~200k docs): the skew
     # corpus clusters pathological docs into their own files, so without
     # rebalance the tasks owning those files are stragglers.
-    skew_rep = max(1, 600_000 // max(docs, 1))
+    # One-pass-like regime: heavy files appear a handful of times, so a
+    # clustered heavy split is long RELATIVE to the job — the straggler
+    # scenario rebalancing targets.  (High replication re-reads the same
+    # heavy files dozens of times, which self-spreads them and models a
+    # corpus where heavy segments are already uniformly distributed.)
+    skew_rep = max(1, 160_000 // max(docs, 1))
     _run_extraction(spark, skewed, rebal=False, replicate=skew_rep)  # warm
     _, _, skew_plain = _run_extraction(
         spark, skewed, rebal=False, replicate=skew_rep
@@ -427,8 +441,8 @@ def main() -> None:
     # headroom, like a real cluster); the full-box 8-core pair and the
     # Spark-free kernel control expose how much of any shortfall is the
     # shared-host hardware rather than the engine.
-    scaling = _scaling_lc(flat, docs, cores=2)
-    scaling_fullbox = _scaling_lc(flat, docs, cores=CPUS // 4, rounds=1)
+    scaling = _scaling_lc(flat, docs, cores=2, rounds=2)
+    scaling_fullbox = _scaling_lc(flat, docs, cores=CPUS // 4, rounds=2)
     kernel_ctl = _kernel_scaling(flat)
 
     _write_baseline_md(

@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--waves", type=int, default=4)
-    ap.add_argument("--heavy-threshold", type=int, default=512)
+    ap.add_argument("--heavy-threshold", type=int, default=2048)
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode only; under spark-submit the cluster "
                          "master is used as-is")

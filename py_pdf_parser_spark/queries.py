@@ -817,6 +817,53 @@ def pp_tag_ignore_flow(spark, sf_dir):
 
 
 @q(
+    "pp_filter_by_font_size",
+    _ora_cte() + "SELECT doc_id, idx FROM elements WHERE font LIKE '%,9'",
+)
+def pp_filter_by_font_size(spark, sf_dir):
+    """font_size equality (filtering.py:228-239); ora sizes are integral
+    so the size-9 set is exactly the fonts ending ',9'."""
+    return _keys(_ef(spark, sf_dir).filter_by_font_size(9.0))
+
+
+@q(
+    "pp_entirely_within",
+    _ora_cte()
+    + """
+SELECT doc_id, idx FROM elements
+WHERE page_number = 1 AND x0 >= 4 AND x1 <= 70 AND y0 >= 20 AND y1 <= 85""",
+)
+def pp_entirely_within(spark, sf_dir):
+    """4-way containment (components.py:256-274)."""
+    return _keys(
+        _ef(spark, sf_dir).filter_entirely_within(4, 70, 20, 85, page=1)
+    )
+
+
+@q(
+    "pp_move_backwards",
+    _ora_cte()
+    + """
+, ranked AS (
+  SELECT doc_id, idx, row_number() OVER (
+      PARTITION BY doc_id ORDER BY idx) AS rn
+  FROM elements WHERE kind = 'text'
+), anch AS (
+  SELECT r.doc_id, r.rn FROM ranked r
+  JOIN elements e ON e.doc_id = r.doc_id AND e.idx = r.idx
+  WHERE e.text = 'END:'
+)
+SELECT r.doc_id, r.idx FROM ranked r
+JOIN anch a ON r.doc_id = a.doc_id AND r.rn = a.rn - 1""",
+)
+def pp_move_backwards(spark, sf_dir):
+    """move_backwards_from(count=1) within the filtered list
+    (filtering.py:919-942)."""
+    ef = _ef(spark, sf_dir).filter_by_kind("text")
+    return _keys(ef.move_from(ef.filter_by_text_equal("END:"), count=-1))
+
+
+@q(
     "pp_move_forwards",
     _ora_cte()
     + """
