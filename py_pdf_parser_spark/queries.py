@@ -115,12 +115,20 @@ def _keys(ef: ElementFrame) -> DataFrame:
     return ef.df.select("doc_id", "idx")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Driver tables arrive as ONE parquet file with one row group —
+    unsplittable, so every downstream expression runs on one core (a
+    sandbox artifact: a real corpus has thousands of splits).  One tiny
+    round-robin shuffle restores the parallelism the scan would have."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:

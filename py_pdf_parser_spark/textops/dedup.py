@@ -41,8 +41,9 @@ def exact_dups(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct n-gram word shingles per doc (joined with '_')."""
+def shingles(docs: DataFrame, n: int = 3, keep: tuple = ()) -> DataFrame:
+    """Distinct n-gram word shingles per doc (joined with '_');
+    ``keep`` passes extra projected columns through."""
     toks = "split(text, ' ')"
     parts = ", ".join(f"{toks}[i - 1 + {j}]" for j in range(n))
     # Guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark,
@@ -53,32 +54,77 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         f"i -> concat_ws('_', {parts}))), "
         f"cast(array() as array<string>))"
     )
-    return docs.select("doc_id", F.expr(expr).alias("shingles"))
+    return docs.select("doc_id", F.expr(expr).alias("shingles"), *keep)
 
 
-def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def hashed_shingles(
+    docs: DataFrame, n: int = 3, keep: tuple = ()
+) -> DataFrame:
     """Distinct n-gram shingles as 32-bit integer hashes (md5-based).
 
     Hashing once up front shrinks every downstream payload (minhash
-    permutations, pair joins) from strings to int64s.
+    permutations, pair joins) from strings to int64s.  NOTE: array
+    results are for API convenience — hot paths should use
+    ``shingle_rows`` (codegen row form; see PLANS.md issues 8-9).
     """
-    return shingles(docs, n).select(
+    return shingles(docs, n, keep=keep).select(
         "doc_id",
         F.expr(f"transform(shingles, s -> {_h('s')})").alias("hs"),
+        *keep,
     )
+
+
+def shingle_rows(
+    docs: DataFrame, n: int = 3, keep: tuple = (), distinct: bool = False
+) -> DataFrame:
+    """Exploded shingle-hash rows (doc_id[, keep...], h) — 100%
+    whole-stage codegen.
+
+    The array-typed formulations (``transform``/``array_distinct`` +
+    ``explode``) run interpreted (higher-order functions have no
+    codegen), and worse: exploding a COMPUTED array makes the optimizer
+    infer a ``size(arr) > 0`` filter with the entire array expression
+    inlined into it — the shingle+md5 pipeline evaluated 3x per row
+    (measured ~9s for 260k shingles).  This shape has no array at all:
+    posexplode the tokens, build each n-gram with ``lead`` windows over
+    (doc_id, pos), hash per row with scalar md5 — every operator
+    codegen-friendly, one shuffle (the window's hash partition by
+    doc_id, which downstream doc-level aggregations then reuse).
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select(
+        "doc_id", *keep,
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, n)
+    ]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = F.concat(gram, F.lit("_"), p)  # null-propagating concat
+    rows = (
+        toks.withColumn("s", gram)
+        .where(F.col("s").isNotNull())
+        .select("doc_id", *keep, F.expr(_h("s")).alias("h"))
+    )
+    if distinct:
+        rows = rows.dropDuplicates(["doc_id", "h"])
+    return rows
 
 
 def minhash_wide(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Wide MinHash signatures (doc_id, m0..m{k-1}), one row per doc."""
-    exploded = (
-        hashed_shingles(docs, n)
-        .select("doc_id", F.explode("hs").alias("h"))
-    )
+    """Wide MinHash signatures (doc_id, m0..m{k-1}), one row per doc.
+
+    ``shingle_rows`` -> one groupBy(doc_id) with k min-aggregates: the
+    groupBy reuses the window's doc_id partitioning (no extra
+    exchange), partial aggregation is map-side combinable, and
+    min(multiset) == min(set) so no distinct pass is needed.
+    """
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"m{k}")
         for k, (a, b) in enumerate(MINHASH_PARAMS)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return shingle_rows(docs, n).groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -158,27 +204,36 @@ def ngram_jaccard_pairs(
     inside a block (near-identical docs have near-identical lengths), so
     the join never goes quadratic in the corpus.
     """
-    sh = hashed_shingles(docs, n).join(
-        docs.select(
-            "doc_id",
-            (F.length("text") / block_chars).cast("long").alias("blk"),
-        ),
-        "doc_id",
+    # hs and the block key come from ONE projection over the scan (the
+    # previous shape joined two scans of the same table on doc_id — a
+    # full extra shuffle); the round-robin exchange then materializes hs
+    # once, and the self-join's two sides reuse it (ReusedExchange).
+    blocked = docs.withColumn(
+        "blk", (F.length("text") / block_chars).cast("long")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    # |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair over int64
-    # arrays (strings already hashed away before the join shuffle).
-    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    # |A∩B| via shingle rows + equi-join on (blk, hash) + count — the
+    # whole hot loop is JVM codegen (window, hash join, hash agg).  A
+    # per-pair array_intersect looks cheaper on paper but runs
+    # interpreted (higher-order fn), measured ~540us/pair = 25x this.
+    # Distinct-set sizes ride along in the rows, so no extra join; the
+    # per-doc window count reuses the shingle window's partitioning.
+    rows = shingle_rows(blocked, n, keep=("blk",), distinct=True)
+    ex = rows.withColumn(
+        "nd", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
     pairs = (
-        a.join(b, "blk")
+        a.join(b, ["blk", "h"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            inter.alias("ni"),
-            F.size(F.col("a.hs")).alias("na"),
-            F.size(F.col("b.hs")).alias("nb"),
+        )
+        .agg(
+            F.count("*").alias("ni"),
+            F.first("a.nd").alias("na"),
+            F.first("b.nd").alias("nb"),
         )
     )
     return (
