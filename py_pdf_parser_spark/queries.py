@@ -916,6 +916,54 @@ def mm_media_features(spark, sf_dir):
     return media.media_features(_ora_docs(spark, sf_dir))
 
 
+_MM_FEATURES_CTE = f"""
+WITH m AS (
+  SELECT doc_id, unnest(spans) AS s FROM read_parquet('{oracle_corpus_path(ORACLE_SF)}/*.parquet')
+), f AS (
+  SELECT doc_id, s.media_ref AS media_ref,
+         CAST(64 + (length(s.media_ref) % 7) * 16 AS BIGINT) AS width,
+         CAST(48 + (length(s.media_ref) % 5) * 24 AS BIGINT) AS height,
+         CAST(1 + (s."offset" % 5) AS BIGINT) AS n_frames
+  FROM m WHERE s.kind = 'media'
+)"""
+
+
+@q(
+    "mm_resize_plan",
+    _MM_FEATURES_CTE
+    + """
+SELECT doc_id, media_ref, width, height,
+       CAST(floor(width * least(224.0 / width, 224.0 / height)) AS BIGINT)
+           AS out_w,
+       CAST(floor(height * least(224.0 / width, 224.0 / height)) AS BIGINT)
+           AS out_h,
+       round(least(224.0 / width, 224.0 / height), 6) AS scale
+FROM f""",
+)
+def mm_resize_plan(spark, sf_dir):
+    """Letterbox-resize geometry in Arrow batches over exploded media."""
+    return media.resize_media(media.media_features(_ora_docs(spark, sf_dir)))
+
+
+@q(
+    "mm_frame_samples",
+    _MM_FEATURES_CTE
+    + """
+SELECT doc_id, media_ref,
+       CAST(unnest(range(0, n_frames,
+           greatest(1, CAST(ceil(n_frames / 4.0) AS BIGINT)))) AS BIGINT)
+           AS frame_idx,
+       media_ref || '#' ||
+           unnest(range(0, n_frames,
+               greatest(1, CAST(ceil(n_frames / 4.0) AS BIGINT))))::VARCHAR
+           AS frame_ref
+FROM f""",
+)
+def mm_frame_samples(spark, sf_dir):
+    """Uniform frame sampling over the (fake-decoded) clip features."""
+    return media.sample_frames(media.media_features(_ora_docs(spark, sf_dir)))
+
+
 # -- text analysis (driver documents table) ----------------------------------------
 
 
@@ -1100,6 +1148,43 @@ SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
 )
 def emb_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb_table(spark, sf_dir))
+
+
+@q(
+    "emb_ivf_topk",
+    """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, emb AS c_emb FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, e.emb, c.cell_id,
+         list_cosine_similarity(e.emb, c.c_emb) AS c_cos
+  FROM e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb, cell_id AS q_cell
+  FROM assigned WHERE vec_id < 10
+), j AS (
+  SELECT q.q_id, a.vec_id,
+         round(list_cosine_similarity(q.q_emb, a.emb), 4) AS cos
+  FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id != q.q_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+      AS rank
+  FROM j
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
+)
+def emb_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN: coarse-quantize to deterministic centroids,
+    exact rerank within the query's cell."""
+    return similarity.ivf_topk(_emb_table(spark, sf_dir))
 
 
 def _sketch_duck(col: str) -> str:

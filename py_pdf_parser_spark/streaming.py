@@ -62,6 +62,81 @@ def stream_windowed_counts(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, start_s long, end_s long"
+)
+SESSION_STATE_SCHEMA = "session_id long, n_events long, start_s double, last_s double"
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "ev_sessions",
+):
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (SURVEY.md §2.10's custom-stateful path).
+
+    State per user = the open session (id, count, start, last-seen).
+    Each micro-batch folds its events into the state and emits a
+    snapshot row per touched session; the LAST emission per
+    (user, session) equals the batch ``events.sessionize`` result, which
+    the test asserts.  Update-mode memory sink under ``query_name``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .schema import EVENTS_SCHEMA
+
+    gap_s = gap_minutes * 60.0
+
+    def fold(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            session_id, n_events, start_s, last_s = state.get
+        else:
+            session_id, n_events, start_s, last_s = 0, 0, None, None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"].astype("int64") / 1e9:  # epoch seconds
+                if last_s is None or ts - last_s > gap_s:
+                    if n_events:
+                        out.append(
+                            (user_id, session_id, n_events, start_s, last_s)
+                        )
+                    session_id += 1
+                    n_events, start_s = 0, ts
+                n_events += 1
+                last_s = ts
+        out.append((user_id, session_id, n_events, start_s, last_s))
+        state.update((session_id, n_events, start_s, last_s))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_id", "n_events", "start_s", "end_s"],
+        ).astype({"start_s": "int64", "end_s": "int64"})
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .start()
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,

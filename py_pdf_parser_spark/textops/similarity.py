@@ -89,6 +89,68 @@ def lsh_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+N_IVF_CELLS = 16
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid cell per vector.
+
+    Centroids are the first ``n_cells`` corpus vectors — deterministic
+    (SQL-reproducible) in place of a k-means fit; at deployment the
+    centroid table is the trained codebook and the plan is identical:
+    broadcast the (tiny) centroid set, one narrow argmax pass, no
+    shuffle of the corpus.
+    """
+    cents = with_norm(emb.where(F.col("vec_id") < n_cells)).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("n_cent"),
+    )
+    corpus = with_norm(emb)
+    dot = F.expr(DOT.format(a="embedding", b="c_emb"))
+    scored = corpus.join(F.broadcast(cents)).withColumn(
+        "c_cos", dot / (F.col("_norm") * F.col("n_cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("cell_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "_norm", "cell_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5,
+    n_cells: int = N_IVF_CELLS,
+) -> DataFrame:
+    """Approximate top-k: exact rerank within the query's IVF cell
+    (single-probe; multi-probe = union the next-nearest cells)."""
+    assigned = ivf_assign(emb, n_cells)
+    corpus = assigned.select(
+        "vec_id", "embedding", "cell_id", F.col("_norm").alias("n_c")
+    )
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell_id").alias("q_cell"),
+        F.col("_norm").alias("n_q"),
+    )
+    dot = F.expr(DOT.format(a="q_emb", b="embedding"))
+    joined = (
+        corpus.join(F.broadcast(queries), corpus["cell_id"] == queries["q_cell"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", F.round(dot / (F.col("n_c") * F.col("n_q")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Approximate top-k: exact rerank within the query's LSH bucket.
 

@@ -67,3 +67,53 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == batch sessionize."""
+    from pyspark.sql import functions as F
+
+    from py_pdf_parser_spark.events import sessionize
+    from py_pdf_parser_spark.streaming import stream_sessionize
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    in_dir = str(tmp_path / "ev_in")
+    # Multiple time-ordered files so the stateful op crosses micro-batch
+    # boundaries (state carried between batches).
+    (
+        spark.read.parquet(src)
+        .repartitionByRange(3, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(in_dir)
+    )
+    # The file source orders batches by (modTime, path); the parallel
+    # write gives near-identical mtimes, so pin them ascending in part
+    # order to make arrival order == event-time order (the contract a
+    # real log stream provides).
+    import os
+
+    parts = sorted(
+        f for f in os.listdir(in_dir) if f.endswith(".parquet")
+    )
+    base = int(os.path.getmtime(os.path.join(in_dir, parts[0])))
+    for i, name in enumerate(parts):
+        os.utime(os.path.join(in_dir, name), (base + 10 * i, base + 10 * i))
+    query = stream_sessionize(spark, in_dir, query_name="sess_test")
+    try:
+        query.processAllAvailable()
+        streamed = (
+            spark.table("sess_test")
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.min("start_s").alias("start_s"),
+                F.max("end_s").alias("end_s"),
+            )
+        )
+        got = {tuple(r) for r in streamed.collect()}
+    finally:
+        query.stop()
+
+    want = {tuple(r) for r in sessionize(spark.read.parquet(src)).collect()}
+    assert got == want
+    assert len(want) > 50
