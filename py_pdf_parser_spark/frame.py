@@ -344,8 +344,20 @@ class ElementFrame:
         return self._with(self.df.join(keys, on=self._KEY, how="leftanti"))
 
     def xor(self, other: "ElementFrame") -> "ElementFrame":
-        """Spark has no xor: (a - b) | (b - a)."""
-        return self.subtract(other).union(other.subtract(self))
+        """Spark has no xor; (a−b) ∪ (b−a) would evaluate each side's
+        whole lineage twice (the parse kernel 6x in total).  Union +
+        per-key count does it in ONE pass per side: both sides are
+        key-unique subsets of the same elements table, so a key seen
+        twice is in the intersection and drops out."""
+        from pyspark.sql.window import Window
+
+        u = self.df.unionByName(other.df)
+        w = Window.partitionBy(*self._KEY)
+        return self._with(
+            u.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") == 1)
+            .drop("_n")
+        )
 
     # -- terminal helpers ------------------------------------------------------
 

@@ -237,3 +237,36 @@ class TestCheckpointResume:
             (F.col("status") == "ok") & (F.col("attempt") > 1)
         ).count()
         assert retried > 0
+
+
+class TestMaterializedElements:
+    def test_parse_once_query_many_with_pushdown(self, spark, tmp_path):
+        """materialize_elements: same rows as the live parse, and
+        element-level filters reach the parquet scan (PushedFilters) —
+        which the mapInArrow kernel can never offer."""
+        from py_pdf_parser_spark.pipeline import (
+            materialize_elements,
+            parse_elements,
+        )
+        from py_pdf_parser_spark.synth import ensure_mixed_corpus
+
+        src = ensure_mixed_corpus(0.001)
+        out = materialize_elements(spark, src, str(tmp_path / "elements"))
+        mat = spark.read.parquet(out)
+        live = parse_elements(spark.read.parquet(src))
+        assert mat.count() == live.count()
+
+        q = mat.where("font = 'f1,8'").select("doc_id", "idx")
+        plan = q._jdf.queryExecution().toString()
+        assert "PushedFilters" in plan and "EqualTo(font,f1,8)" in plan
+
+        got = sorted(map(tuple, q.collect()))
+        want = sorted(
+            map(
+                tuple,
+                live.where("font = 'f1,8'")
+                .select("doc_id", "idx")
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
