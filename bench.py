@@ -43,8 +43,15 @@ BENCH_QUERIES = [
     "td_minhash_signatures",
     "td_simhash",
     "td_ngram_jaccard_pairs",
+    "td_lsh_candidate_pairs",
+    "td_exact_dups",
     "emb_cosine_topk",
     "emb_lsh_topk",
+    "emb_ivf_topk",
+    "emb_dup_pairs",
+    "ev_windowed_counts",
+    "ev_sessionize",
+    "ev_json_props",
 ]
 
 
