@@ -365,14 +365,15 @@ def _write_baseline_md(
         "hot path is shuffle-free), so at 1000 real executors the only "
         "shared resource is the storage scan.",
         "",
-        "## Skew (pathological docs: 1600-page bigdoc / giant-media "
-        "bigmedia, clustered in their own files like a crawl segment)",
+        "## Skew (0.1% pathological docs — 1600-page bigdoc, giant-media "
+        "bigmedia, superlinear-recipe bigtable — clustered in their own "
+        "files like a crawl segment)",
         "",
         f"| corpus | rebalance | sec |",
         f"|---|---|---|",
         f"| flat | off | {skew['flat_sec']:.2f} |",
-        f"| skewed (0.5% pathological) | off | {skew['skew_plain_sec']:.2f} |",
-        f"| skewed (0.5% pathological) | on | {skew['skew_rebal_sec']:.2f} |",
+        f"| skewed | off | {skew['skew_plain_sec']:.2f} |",
+        f"| skewed | on | {skew['skew_rebal_sec']:.2f} |",
         "",
         "(rebalance = extract_spans_rebalanced: per-branch kernels so the "
         "light scan+extract overlaps the heavy pre-scan; only docs with "
