@@ -24,11 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline over the mixed-family corpus —
     parse spans -> order -> classify -> per-doc recipes (memo fields,
     order-summary sections+tables, default re-emission) -> output spans."""
-    from py_pdf_parser_spark.pipeline import extract_spans, rebalance
+    from py_pdf_parser_spark.pipeline import extract_spans_rebalanced
     from py_pdf_parser_spark.synth import ensure_mixed_corpus
 
     docs = spark.read.parquet(ensure_mixed_corpus(0.001))
-    return extract_spans(spark, rebalance(docs))
+    return extract_spans_rebalanced(spark, docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
