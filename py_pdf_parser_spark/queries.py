@@ -104,7 +104,14 @@ def _ora_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _elements(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return parse_elements(_ora_docs(spark, sf_dir))
+    # The round-robin exchange right after the parse kernel lets every
+    # self-referencing query (anchor joins, set algebra: two+ sides over
+    # the same elements) hit ReusedExchange — the mapInArrow parse runs
+    # ONCE instead of per consumer (measured 1.27s -> 0.72s for
+    # to_the_right_of at sf0.1).  materialize_elements() is the
+    # at-scale equivalent; this is its in-plan form.
+    parallelism = spark.sparkContext.defaultParallelism
+    return parse_elements(_ora_docs(spark, sf_dir)).repartition(parallelism)
 
 
 def _ef(spark: SparkSession, sf_dir: str) -> ElementFrame:
