@@ -9,9 +9,16 @@ genuinely requires it.
 
 Anchor-relative operators (``to_the_right_of``, ``before`` …) take an
 *anchor frame*: per-document anchor rows (typically one per doc, selected
-with a filter).  Anchors are broadcast — at 10^12-doc scale the anchor
-side is ~one row per document of the filtered subset, orders of magnitude
-smaller than the elements fact table, so the join is map-side.
+with a filter).  Anchor joins are plain equi-joins on ``doc_id`` with NO
+forced broadcast hint: at 10^12-doc scale "one anchor row per doc" is
+still an O(corpus) relation, so a forced ``F.broadcast`` would be a
+multi-terabyte driver OOM.  AQE picks broadcast-hash when the anchor side
+is genuinely small (post-filter size under
+``spark.sql.autoBroadcastJoinThreshold``) and shuffle/sort-merge
+otherwise; over the ``materialize_elements`` bucketed table both sides
+scan the same ``bucketBy(doc_id)`` layout, so the sort-merge path is
+co-located — zero Exchange (see tests/test_spark_pipeline.py bucketed-join
+test and PLANS.md).
 
 Exactness note (SURVEY.md §7 hard parts): ``filter_by_regex`` uses a
 vectorized pandas UDF running Python ``re.match`` — Spark's ``rlike`` is
@@ -149,7 +156,7 @@ class ElementFrame:
     def _anchor_join(
         self, anchors: "ElementFrame", cond: Column, inclusive: bool
     ) -> "ElementFrame":
-        a = F.broadcast(_as_anchor(anchors.df))
+        a = _as_anchor(anchors.df)
         joined = self.df.join(a, on="doc_id", how="inner")
         if not inclusive:
             cond = cond & (F.col("idx") != F.col("a_idx"))
@@ -253,14 +260,14 @@ class ElementFrame:
 
     def before(self, anchors: "ElementFrame", inclusive: bool = False) -> "ElementFrame":
         op = F.col("idx") <= F.col("a_idx") if inclusive else F.col("idx") < F.col("a_idx")
-        a = F.broadcast(anchors.df.select("doc_id", F.col("idx").alias("a_idx")))
+        a = anchors.df.select("doc_id", F.col("idx").alias("a_idx"))
         return self._with(
             self.df.join(a, on="doc_id").where(op).drop("a_idx")
         )
 
     def after(self, anchors: "ElementFrame", inclusive: bool = False) -> "ElementFrame":
         op = F.col("idx") >= F.col("a_idx") if inclusive else F.col("idx") > F.col("a_idx")
-        a = F.broadcast(anchors.df.select("doc_id", F.col("idx").alias("a_idx")))
+        a = anchors.df.select("doc_id", F.col("idx").alias("a_idx"))
         return self._with(
             self.df.join(a, on="doc_id").where(op).drop("a_idx")
         )
@@ -268,8 +275,8 @@ class ElementFrame:
     def between(
         self, start: "ElementFrame", end: "ElementFrame", inclusive: bool = False
     ) -> "ElementFrame":
-        s = F.broadcast(start.df.select("doc_id", F.col("idx").alias("s_idx")))
-        e = F.broadcast(end.df.select("doc_id", F.col("idx").alias("e_idx")))
+        s = start.df.select("doc_id", F.col("idx").alias("s_idx"))
+        e = end.df.select("doc_id", F.col("idx").alias("e_idx"))
         joined = self.df.join(s, on="doc_id").join(e, on="doc_id")
         if inclusive:
             cond = (F.col("idx") >= F.col("s_idx")) & (F.col("idx") <= F.col("e_idx"))
@@ -303,11 +310,9 @@ class ElementFrame:
         row_number + broadcast join on the shifted rank."""
         w = Window.partitionBy("doc_id").orderBy(F.col("idx").asc())
         ranked = self.df.withColumn("_rn", F.row_number().over(w))
-        anchor_ranks = F.broadcast(
-            ranked.join(
-                anchors.df.select("doc_id", "idx"), ["doc_id", "idx"], "leftsemi"
-            ).select("doc_id", (F.col("_rn") + count).alias("_target"))
-        )
+        anchor_ranks = ranked.join(
+            anchors.df.select("doc_id", "idx"), ["doc_id", "idx"], "leftsemi"
+        ).select("doc_id", (F.col("_rn") + count).alias("_target"))
         out = (
             ranked.join(
                 anchor_ranks,
@@ -346,17 +351,23 @@ class ElementFrame:
     def xor(self, other: "ElementFrame") -> "ElementFrame":
         """Spark has no xor; (a−b) ∪ (b−a) would evaluate each side's
         whole lineage twice (the parse kernel 6x in total).  Union +
-        per-key count does it in ONE pass per side: both sides are
-        key-unique subsets of the same elements table, so a key seen
-        twice is in the intersection and drops out."""
-        from pyspark.sql.window import Window
-
-        u = self.df.unionByName(other.df)
+        per-key side-set does it in ONE pass per side: a key present in
+        both sides' side-sets is in the intersection and drops out.
+        Robust to duplicate (doc_id, idx) rows WITHIN a side (set
+        semantics: one survivor per key), unlike a raw count()==1, so a
+        join-expanded frame degrades to set semantics instead of
+        corrupting the result.  Both windows cluster on the same key —
+        hash(doc_id, idx) satisfies both, so still a single exchange."""
+        u = self.df.withColumn("_side", F.lit(0)).unionByName(
+            other.df.withColumn("_side", F.lit(1))
+        )
         w = Window.partitionBy(*self._KEY)
+        wd = Window.partitionBy(*self._KEY).orderBy("_side")
         return self._with(
-            u.withColumn("_n", F.count("*").over(w))
-            .where(F.col("_n") == 1)
-            .drop("_n")
+            u.withColumn("_sides", F.size(F.collect_set("_side").over(w)))
+            .withColumn("_rn", F.row_number().over(wd))
+            .where((F.col("_sides") == 1) & (F.col("_rn") == 1))
+            .drop("_side", "_sides", "_rn")
         )
 
     # -- terminal helpers ------------------------------------------------------

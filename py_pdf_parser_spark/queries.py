@@ -104,14 +104,20 @@ def _ora_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _elements(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The round-robin exchange right after the parse kernel lets every
+    # The hash(doc_id) exchange right after the parse kernel lets every
     # self-referencing query (anchor joins, set algebra: two+ sides over
     # the same elements) hit ReusedExchange — the mapInArrow parse runs
     # ONCE instead of per consumer (measured 1.27s -> 0.72s for
-    # to_the_right_of at sf0.1).  materialize_elements() is the
-    # at-scale equivalent; this is its in-plan form.
+    # to_the_right_of at sf0.1).  Hash on doc_id (not round-robin) so
+    # the partitioning ALSO satisfies the anchor joins' / set algebra's
+    # clustering requirement: filters preserve it, so sort-merge joins
+    # on doc_id need no further exchange on either side.
+    # materialize_elements(bucket_by_doc=...) is the at-scale
+    # equivalent; this is its in-plan form.
     parallelism = spark.sparkContext.defaultParallelism
-    return parse_elements(_ora_docs(spark, sf_dir)).repartition(parallelism)
+    return parse_elements(_ora_docs(spark, sf_dir)).repartition(
+        parallelism, "doc_id"
+    )
 
 
 def _ef(spark: SparkSession, sf_dir: str) -> ElementFrame:
@@ -139,7 +145,7 @@ def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 # ---------------------------------------------------------------------------

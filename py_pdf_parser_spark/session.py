@@ -30,6 +30,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Anchor joins carry extra equalities (page_number) beyond the
+        # bucketing key; allow subset-key co-partitioning so joins over
+        # the bucketBy(doc_id) elements table stay exchange-free instead
+        # of reshuffling both sides on the widened key set.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # Arrow transfer for pandas UDF kernels.  Batch size is
         # load-bearing: small batches (e.g. 512) make the JVM<->Python
         # round-trip dominate and anti-scale under concurrency (measured:

@@ -270,3 +270,34 @@ class TestMaterializedElements:
             )
         )
         assert got == want and len(got) > 0
+
+    def test_bucketed_anchor_join_no_exchange(self, spark, tmp_path):
+        """The at-scale anchor-join path: over the bucketBy(doc_id)
+        elements table, directional operators must plan as a co-located
+        SortMergeJoin — no Exchange, and (crucially) no forced
+        BroadcastExchange of the anchor side, which at 10^12 docs would
+        be an O(corpus) driver OOM."""
+        from py_pdf_parser_spark.pipeline import materialize_elements
+
+        src = ensure_mixed_corpus(0.001)
+        materialize_elements(
+            spark, src, str(tmp_path / "elements_b"), bucket_by_doc=8
+        )
+        mat = spark.table("elements_bucketed")
+        ef = ElementFrame(mat)
+        anchors = ef.filter_by_kind("text").filter_by_page(1)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            q = ef.to_the_right_of(anchors).df
+            plan = q._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert "Broadcast" not in plan
+            assert q.count() > 0
+            # order ops take the same path
+            q2 = ef.before(anchors.first_per_doc()).df
+            plan2 = q2._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan2 and "Broadcast" not in plan2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
