@@ -1085,7 +1085,9 @@ def td_minhash_signatures(spark, sf_dir):
     return sig.select("doc_id", F.col("k").cast("long").alias("k"), "minhash")
 
 
-def _simhash_oracle() -> str:
+def _simhash_cte() -> str:
+    """WITH clause ending in sig(doc_id, simhash) — DuckDB mirror of
+    dedup.simhash."""
     h = _H_DUCK.format(s="w")
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
@@ -1103,8 +1105,13 @@ WITH w0 AS (
   SELECT doc_id, {h} AS h FROM w0
 ), v AS (
   SELECT doc_id, {sums} FROM wh GROUP BY doc_id
-)
-SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM v"""
+), sig AS (
+  SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM v
+)"""
+
+
+def _simhash_oracle() -> str:
+    return _simhash_cte() + "\nSELECT doc_id, simhash FROM sig"
 
 
 @q("td_simhash", _simhash_oracle())
@@ -1126,10 +1133,11 @@ blk AS (
   FROM hsh h JOIN documents d ON h.doc_id = d.doc_id
 ),
 pairs AS (
+  -- adjacent blocks too: near-dups straddling a block boundary
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          len(list_intersect(a.hs, b.hs)) AS ni,
          len(a.hs) AS na, len(b.hs) AS nb
-  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  FROM blk a JOIN blk b ON abs(a.blk - b.blk) <= 1 AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, round(ni / (na + nb - ni), 4) AS jaccard
 FROM pairs WHERE round(ni / (na + nb - ni), 4) >= 0.5""",
@@ -1247,10 +1255,16 @@ def emb_lsh_topk(spark, sf_dir):
 @q(
     "emb_dup_pairs",
     _emb_lsh_cte()
-    + """, p AS (
+    + """, ec AS (
+  SELECT vec_id, emb, bucket,
+         (row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1)
+             // 256 AS chunk
+  FROM e
+), p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
-  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM ec a JOIN ec b
+    ON a.bucket = b.bucket AND a.chunk = b.chunk AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9""",
 )
@@ -1318,9 +1332,10 @@ def ev_json_props(spark, sf_dir):
     return events_ops.json_prop_stats(_events_table(spark, sf_dir))
 
 
-def _lsh_pairs_oracle() -> str:
+def _lsh_pairs_oracle(source_cte: str = _SHINGLES_DUCK,
+                      max_bucket: int = 256) -> str:
     """DuckDB mirror of dedup.lsh_candidate_pairs: wide minhash mins in
-    k order → per-band md5 buckets → bucket self-join."""
+    k order → per-band md5 buckets → chunk-capped bucket self-join."""
     h = _H_DUCK.format(s="s")
     mins = ", ".join(
         f"CAST(list_min(list_transform(shingles, "
@@ -1338,17 +1353,104 @@ def _lsh_pairs_oracle() -> str:
         + ") AS bucket FROM wide"
         for band in range(n_bands)
     )
-    return f"""{_SHINGLES_DUCK},
+    return f"""{source_cte},
 wide AS (SELECT doc_id, {mins} FROM sh WHERE len(shingles) > 0),
-banded AS ({bands})
+banded AS ({bands}),
+capped AS (
+  SELECT doc_id, band, bucket,
+         (row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) - 1)
+             // {max_bucket} AS chunk
+  FROM banded)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.chunk = b.chunk
 WHERE a.doc_id < b.doc_id"""
 
 
 @q("td_lsh_candidate_pairs", _lsh_pairs_oracle())
 def td_lsh_candidate_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_docs_table(spark, sf_dir))
+
+
+# Pathological-bucket stress: the base corpus plus 300 byte-identical
+# copies of its first document — every band funnels them into ONE
+# bucket, which the chunk cap must keep sub-quadratic.
+_PATHO_COPIES = 300
+_PATHO_CAP = 32
+
+_PATHO_BASE = 10_000_000  # patho ids sort after every real doc_id
+
+_PATHO_SHINGLES_DUCK = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {_PATHO_BASE} + i AS doc_id,
+         (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
+  FROM range({_PATHO_COPIES}) t(i)
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || '_' || w[i+1] || '_' || w[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM t)"""
+
+
+@q(
+    "td_lsh_pairs_capped",
+    _lsh_pairs_oracle(_PATHO_SHINGLES_DUCK, max_bucket=_PATHO_CAP),
+)
+def td_lsh_pairs_capped(spark, sf_dir):
+    """LSH candidate pairs under a degenerate bucket: 300 identical docs
+    land in one bucket per band; the chunk cap (32) bounds the self-join
+    at (300/32)·C(32,2) pairs instead of C(300,2) — the at-scale
+    guarantee that boilerplate crawl pages can't go quadratic."""
+    docs = _docs_table(spark, sf_dir).select("doc_id", "text")
+    first_text = (
+        docs.orderBy("doc_id").limit(1).select("text")
+    )
+    copies = (
+        spark.range(_PATHO_COPIES)
+        .crossJoin(F.broadcast(first_text))
+        .select(
+            (F.col("id") + F.lit(_PATHO_BASE)).alias("doc_id"),
+            "text",
+        )
+    )
+    corpus = docs.unionByName(copies)
+    return dedup.lsh_candidate_pairs(corpus, max_bucket=_PATHO_CAP)
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, max_bucket: int = 256) -> str:
+    n_bands = max_hamming + 1
+    width = dedup.SIMHASH_BITS // n_bands
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {band} AS band, "
+        f"(simhash >> {band * width}) & {(1 << width) - 1} AS bval FROM sig"
+        for band in range(n_bands)
+    )
+    ham = "bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT))"
+    return f"""{_simhash_cte()},
+banded AS ({bands}),
+capped AS (
+  SELECT doc_id, simhash, band, bval,
+         (row_number() OVER (PARTITION BY band, bval ORDER BY doc_id) - 1)
+             // {max_bucket} AS chunk
+  FROM banded)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bval = b.bval AND a.chunk = b.chunk
+WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}"""
+
+
+@q("td_simhash_pairs", _simhash_pairs_oracle())
+def td_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming <= 3 via pigeonhole banding
+    (4 bands x 8 bits: any <=3-bit-different pair agrees on a band)."""
+    return dedup.simhash_pairs(_docs_table(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -149,11 +149,62 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, rows_per_band: int = 2) -> DataFrame:
+def _chunk_capped(banded: DataFrame, keys: List[str], order: str,
+                  max_bucket: int) -> DataFrame:
+    """Split oversized buckets into deterministic chunks of ``max_bucket``.
+
+    A degenerate bucket (crawl boilerplate: thousands of identical docs)
+    makes a within-bucket self-join quadratic IN THAT BUCKET.  Chunking by
+    rank caps every join group at ``max_bucket`` members: pairs form only
+    within a chunk, so the worst bucket costs ``(n/cap)·C(cap,2)`` instead
+    of ``C(n,2)`` — linear in bucket size.  Buckets at or under the cap are
+    untouched.  Recall loss is confined to cross-chunk pairs of oversized
+    buckets — at dedup thresholds those are near-identical docs that exact
+    dedup / any surviving same-chunk pair already represents.  Rank order
+    is the stable id sort, so chunking (and the candidate set) is
+    deterministic and SQL-reproducible.  Use ``bucket_cap_stats`` to audit
+    what the cap actually split.
+    """
+    w = Window.partitionBy(*keys).orderBy(order)
+    return banded.withColumn(
+        "chunk",
+        ((F.row_number().over(w) - 1) / F.lit(max_bucket)).cast("long"),
+    )
+
+
+def bucket_cap_stats(banded: DataFrame, keys: List[str],
+                     max_bucket: int) -> DataFrame:
+    """Audit table for the bucket cap: one row per oversized bucket with
+    the number of cross-chunk candidate pairs the cap drops.  Run it as a
+    side output when tuning ``max_bucket`` — silent truncation reads as
+    "covered everything" when it didn't."""
+    n = F.col("n")
+    n_chunks = F.ceil(n / F.lit(max_bucket))
+    full_pairs = (n * (n - 1) / 2).cast("long")
+    last = n - (n_chunks - 1) * max_bucket
+    kept = (
+        (n_chunks - 1) * (max_bucket * (max_bucket - 1) // 2)
+        + (last * (last - 1) / 2).cast("long")
+    )
+    return (
+        banded.groupBy(*keys).agg(F.count("*").alias("n"))
+        .where(n > max_bucket)
+        .select(
+            *keys, "n",
+            (full_pairs - kept).alias("pairs_dropped"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256
+) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Shuffle is on (band, bucket) — tiny keys — then a self-join within
-    buckets.  Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    buckets, chunk-capped at ``max_bucket`` members per join group (see
+    ``_chunk_capped``) so one hot bucket can never go quadratic.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
 
     Buckets are built from the wide signature columns in k order — NOT
     via ``collect_list`` (whose post-shuffle ordering is nondeterministic
@@ -182,10 +233,11 @@ def lsh_candidate_pairs(docs: DataFrame, rows_per_band: int = 2) -> DataFrame:
         wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    capped = _chunk_capped(banded, ["band", "bucket"], "doc_id", max_bucket)
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["band", "bucket", "chunk"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -200,32 +252,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard within cheap length blocks.
 
-    Blocking key = n_chars // block_chars: candidate pairs only form
-    inside a block (near-identical docs have near-identical lengths), so
-    the join never goes quadratic in the corpus.
+    Blocking key = n_chars // block_chars, matched against the SAME and
+    ADJACENT blocks: near-identical docs have near-identical lengths, so
+    the join never goes quadratic in the corpus — but two 0.9-Jaccard
+    docs of lengths 159 and 161 straddle a block boundary, so each doc's
+    rows are emitted at keys {blk, blk+1} and a pair is kept only at
+    ``greatest(blk_a, blk_b)`` (each cross/same-block pair meets at
+    exactly one key — no double-counted intersections).
     """
     # hs and the block key come from ONE projection over the scan (the
     # previous shape joined two scans of the same table on doc_id — a
     # full extra shuffle); the round-robin exchange then materializes hs
     # once, and the self-join's two sides reuse it (ReusedExchange).
     blocked = docs.withColumn(
-        "blk", (F.length("text") / block_chars).cast("long")
+        "oblk", (F.length("text") / block_chars).cast("long")
     )
     # |A∩B| via shingle rows + equi-join on (blk, hash) + count — the
     # whole hot loop is JVM codegen (window, hash join, hash agg).  A
     # per-pair array_intersect looks cheaper on paper but runs
     # interpreted (higher-order fn), measured ~540us/pair = 25x this.
     # Distinct-set sizes ride along in the rows, so no extra join; the
-    # per-doc window count reuses the shingle window's partitioning.
-    rows = shingle_rows(blocked, n, keep=("blk",), distinct=True)
-    ex = rows.withColumn(
-        "nd", F.count("*").over(Window.partitionBy("doc_id"))
+    # per-doc window count (computed BEFORE the 2x block emit) reuses the
+    # shingle window's partitioning.
+    rows = shingle_rows(blocked, n, keep=("oblk",), distinct=True)
+    ex = (
+        rows.withColumn(
+            "nd", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+        .withColumn(
+            "blk",
+            F.explode(F.array(F.col("oblk"), F.col("oblk") + F.lit(1))),
+        )
     )
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
         a.join(b, ["blk", "h"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("blk") == F.greatest(F.col("a.oblk"), F.col("b.oblk")))
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -246,15 +312,16 @@ def ngram_jaccard_pairs(
     )
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash over the distinct token set.
+    """32-bit SimHash over the distinct token set.
 
     One explode + map-side-combinable groupBy(doc_id): each token votes
     +1/-1 per bit position of its 32-bit hash; the sign vector packs into
-    an integer.
+    an integer.  32 bits (not 16) so the Hamming-band pairing below gets
+    8-bit bands — 256-way spread per band instead of 16.
     """
     words = docs.select(
         "doc_id",
@@ -272,3 +339,51 @@ def simhash(docs: DataFrame) -> DataFrame:
         bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         packed = bit if packed is None else packed + bit
     return agg.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int = 256
+) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance <= ``max_hamming``.
+
+    The pigeonhole banding trick keeps it bucketed: split the 32-bit
+    signature into ``max_hamming + 1`` bands — any pair within Hamming
+    ``max_hamming`` agrees EXACTLY on at least one whole band, so
+    candidates = docs sharing (band, band_value), verified with an exact
+    ``bit_count(xor)``.  Complete recall over the signature space, never
+    corpus-quadratic; hot band-buckets are chunk-capped like LSH
+    (``_chunk_capped``).  Shuffle keys are (band:int, value:int) — tiny.
+    """
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    sig = simhash(docs)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("simhash"), band * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ).alias("bval"),
+        )
+        for band in range(n_bands)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", "simhash",
+        F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
+    )
+    capped = _chunk_capped(banded, ["band", "bval"], "doc_id", max_bucket)
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(b, ["band", "bval", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

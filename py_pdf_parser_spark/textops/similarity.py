@@ -183,24 +183,38 @@ def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
-def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Near-duplicate vector pairs (cosine >= threshold), LSH-bucketed."""
-    hashed = with_norm(lsh_buckets(emb))
+def embedding_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, max_bucket: int = 256
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), LSH-bucketed.
+
+    A degenerate bucket (zero vectors, a boilerplate embedding repeated
+    across a crawl) would make the within-bucket join quadratic in that
+    bucket, so buckets are split into deterministic rank-ordered chunks
+    of ``max_bucket`` and pairs form only within a chunk — worst-bucket
+    cost drops from C(n,2) to (n/cap)·C(cap,2) (see
+    dedup._chunk_capped; dedup.bucket_cap_stats audits the drops).
+    """
+    from .dedup import _chunk_capped
+
+    hashed = _chunk_capped(
+        with_norm(lsh_buckets(emb)), ["bucket"], "vec_id", max_bucket
+    )
     a = hashed.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("_norm").alias("n_a"),
-        "bucket",
+        "bucket", "chunk",
     )
     b = hashed.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("_norm").alias("n_b"),
-        "bucket",
+        "bucket", "chunk",
     )
     dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(dot / (F.col("n_a") * F.col("n_b")), 4))
         .where(F.col("cos") >= threshold)

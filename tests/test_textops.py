@@ -1,0 +1,130 @@
+"""Unit tests for dedup/similarity scale guards: block-boundary recall,
+bucket chunk caps, SimHash Hamming pairing."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from py_pdf_parser_spark.textops import dedup, similarity  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from py_pdf_parser_spark.session import get_spark
+
+    return get_spark(cores=4)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestJaccardBlockBoundary:
+    def test_near_dups_straddling_block_boundary_are_found(self, spark):
+        """Two ~0.9-Jaccard docs whose lengths fall in adjacent 16-char
+        blocks (159 -> blk 9, 162 -> blk 10).  Same-block-only matching
+        (round 1) never compares them."""
+        base = " ".join(f"tok{i:02d}" for i in range(26))  # 6*26-1 = 155
+        a = base + " end"            # 159 chars -> blk 9
+        b = base + " lo end"         # 162 chars -> blk 10
+        assert len(a) // 16 == 9 and len(b) // 16 == 10
+        out = dedup.ngram_jaccard_pairs(
+            _docs(spark, [(1, a), (2, b)]), threshold=0.5
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["jaccard"] > 0.8
+
+    def test_same_block_pair_not_double_counted(self, spark):
+        """Docs in the same block meet at keys blk AND blk+1; the
+        greatest(oblk) filter must keep exactly one meeting so the
+        intersection count (and jaccard) is not doubled."""
+        t = " ".join(f"w{i}" for i in range(30))
+        out = dedup.ngram_jaccard_pairs(
+            _docs(spark, [(1, t), (2, t)]), threshold=0.5
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["jaccard"] == 1.0
+
+    def test_far_blocks_still_not_compared(self, spark):
+        short = " ".join(f"w{i}" for i in range(10))
+        long = " ".join(f"w{i}" for i in range(200))
+        out = dedup.ngram_jaccard_pairs(
+            _docs(spark, [(1, short), (2, long)]), threshold=0.0
+        ).collect()
+        assert out == []
+
+
+class TestBucketCaps:
+    def test_lsh_pairs_capped_per_chunk(self, spark):
+        """100 identical docs = one bucket per band.  cap=10 -> pairs
+        only within rank-chunks of 10: 10 * C(10,2) = 450, not
+        C(100,2) = 4950."""
+        t = " ".join(f"tok{i}" for i in range(20))
+        docs = _docs(spark, [(i, t) for i in range(100)])
+        capped = dedup.lsh_candidate_pairs(docs, max_bucket=10)
+        assert capped.count() == 450
+        uncapped = dedup.lsh_candidate_pairs(docs, max_bucket=1000)
+        assert uncapped.count() == 4950
+
+    def test_bucket_cap_stats_reports_drops(self, spark):
+        t = " ".join(f"tok{i}" for i in range(20))
+        docs = _docs(spark, [(i, t) for i in range(100)])
+        wide = dedup.minhash_wide(docs)
+        # band 0 bucket from (m0, m1) — same for all docs
+        banded = wide.select(
+            "doc_id", F.lit(0).alias("band"),
+            F.md5(F.concat_ws(",", F.col("m0").cast("string"),
+                              F.col("m1").cast("string"))).alias("bucket"),
+        )
+        stats = dedup.bucket_cap_stats(banded, ["band", "bucket"], 10)
+        rows = stats.collect()
+        assert len(rows) == 1
+        assert rows[0]["n"] == 100
+        assert rows[0]["pairs_dropped"] == 4950 - 450
+
+    def test_embedding_dup_pairs_capped(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        out = similarity.embedding_dup_pairs(
+            emb, threshold=0.99, max_bucket=10
+        )
+        assert out.count() == 5 * (10 * 9 // 2)
+
+
+class TestSimhashPairs:
+    def test_identical_docs_pair_at_hamming_zero(self, spark):
+        t = " ".join(f"alpha{i}" for i in range(15))
+        other = " ".join(f"zulu{i}" for i in range(40))
+        out = dedup.simhash_pairs(
+            _docs(spark, [(1, t), (2, t), (3, other)])
+        ).collect()
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+        assert got.get((1, 2)) == 0
+        assert all(h <= 3 for h in got.values())
+
+    def test_recall_vs_exact_hamming(self, spark):
+        """Banding must find EVERY pair at Hamming <= 3 (pigeonhole:
+        4 bands, <=3 flipped bits leave one band intact)."""
+        rows = [
+            (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+            for i in range(40)
+        ]
+        docs = _docs(spark, rows)
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in dedup.simhash(docs).collect()}
+        want = {
+            (a, b)
+            for a in sigs for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.simhash_pairs(docs).collect()
+        }
+        assert got == want
