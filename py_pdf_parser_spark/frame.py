@@ -70,19 +70,32 @@ class ElementFrame:
 
     # -- text filters (filtering.py:148-201) ---------------------------------
 
-    def filter_by_text_equal(self, text: str) -> "ElementFrame":
-        return self.where(F.col("text") == F.lit(text))
+    @staticmethod
+    def _text_col(stripped: bool) -> Column:
+        # ``text`` is str.strip()-ed at parse time; ``text_raw`` is the
+        # untouched span text (filtering.py:148-201 stripped=False).
+        # Column pruning drops whichever one a query never reads.
+        return F.col("text" if stripped else "text_raw")
 
-    def filter_by_text_contains(self, text: str) -> "ElementFrame":
-        return self.where(F.col("text").contains(text))
+    def filter_by_text_equal(
+        self, text: str, stripped: bool = True
+    ) -> "ElementFrame":
+        return self.where(self._text_col(stripped) == F.lit(text))
 
-    def filter_by_regex(self, regex: str, regex_flags: int = 0) -> "ElementFrame":
+    def filter_by_text_contains(
+        self, text: str, stripped: bool = True
+    ) -> "ElementFrame":
+        return self.where(self._text_col(stripped).contains(text))
+
+    def filter_by_regex(
+        self, regex: str, regex_flags: int = 0, stripped: bool = True
+    ) -> "ElementFrame":
         @pandas_udf("boolean")
         def matches(s: pd.Series) -> pd.Series:
             rx = re.compile(regex, regex_flags)
             return s.map(lambda t: isinstance(t, str) and bool(rx.match(t)))
 
-        return self.where(matches(F.col("text")))
+        return self.where(matches(self._text_col(stripped)))
 
     # -- font / page filters (filtering.py:203-269) ---------------------------
 

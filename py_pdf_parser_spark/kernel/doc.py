@@ -88,6 +88,17 @@ def _python_format_size(value) -> str:
     return str(value)
 
 
+def _mode_first_seen(values):
+    """``Counter(values).most_common(1)[0][0]`` semantics
+    (components.py:174-182,199-207): the most common value; ties broken
+    by FIRST insertion order (Counter preserves first-seen order and
+    ``nlargest``/``max`` return the earliest maximal item)."""
+    counts: Dict = {}
+    for v in values:
+        counts[v] = counts.get(v, 0) + 1
+    return max(counts.items(), key=lambda kv: kv[1])[0]
+
+
 class Doc:
     """One document's elements as parallel numpy arrays, sorted by idx.
 
@@ -110,6 +121,8 @@ class Doc:
         offset: Optional[Sequence[int]] = None,
         font_name: Optional[Sequence[str]] = None,
         font_size: Optional[Sequence[float]] = None,
+        char_fonts: Optional[Sequence[Sequence[str]]] = None,
+        char_sizes: Optional[Sequence[Sequence[float]]] = None,
         page_width: Union[float, Dict[int, float]] = 100.0,
         page_height: Union[float, Dict[int, float]] = 100.0,
         font_mapping: Optional[Dict[str, str]] = None,
@@ -164,6 +177,11 @@ class Doc:
         self._order = order
         self._font_name_in = font_name
         self._font_size_in = font_size
+        # Optional per-character payloads (input order, list per element):
+        # when present, font_name/font_size are the per-element MODE over
+        # characters (components.py:160-211), not the layout's value.
+        self._char_fonts_in = char_fonts
+        self._char_sizes_in = char_sizes
         self._font_mapping = font_mapping or {}
         self._font_mapping_is_regex = font_mapping_is_regex
         self._regex_flags = regex_flags
@@ -206,11 +224,24 @@ class Doc:
         if self._font_name is None:
             fn = self._font_name_in
             if fn is None:
-                self._font_name = np.full(self.n, "fake_font", dtype=object)
+                base = np.full(self.n, "fake_font", dtype=object)
             else:
                 if not isinstance(fn, np.ndarray):
                     fn = np.asarray(list(fn), dtype=object)
-                self._font_name = fn[self._order]
+                base = fn[self._order]
+            cf = self._char_fonts_in
+            if cf is not None:
+                # Mode of per-char fontnames, first-seen tie-break
+                # (components.py:174-182); empty char list (media spans)
+                # falls back to the layout value.
+                base = np.asarray(
+                    [
+                        _mode_first_seen(cf[i]) if len(cf[i]) else base[pos]
+                        for pos, i in enumerate(self._order)
+                    ],
+                    dtype=object,
+                )
+            self._font_name = base
         return self._font_name
 
     def _rounded_sizes(self) -> list:
@@ -220,6 +251,14 @@ class Doc:
         else:
             sizes = list(sizes)
         sizes = [sizes[i] for i in self._order]
+        cs = self._char_sizes_in
+        if cs is not None:
+            # Mode of RAW per-char heights first, THEN round the winner
+            # (components.py:199-209) — not the mode of rounded values.
+            sizes = [
+                _mode_first_seen(cs[i]) if len(cs[i]) else sizes[pos]
+                for pos, i in enumerate(self._order)
+            ]
         # Python round: half-to-even; int input stays int (load-bearing for
         # the font string, components.py:208-210,231).
         return [round(s, self._font_size_precision) for s in sizes]

@@ -81,6 +81,12 @@ def ora_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
     if hit is not None:
         return hit
     out = _ora_layout(i, offsets)
+    # Cached arrays are shared across every Doc with the same (i%33,
+    # offsets) class — freeze them so an accidental in-place mutation
+    # fails loudly instead of corrupting all sharers.
+    for v in out.values():
+        if isinstance(v, np.ndarray):
+            v.setflags(write=False)
     if len(_ORA_LAYOUT_CACHE) < 4096:
         _ORA_LAYOUT_CACHE[key] = out
     return out

@@ -39,6 +39,24 @@ def doc_from_arrays(
     cfg = config_for(doc_id)
     if config:
         cfg = {**cfg, **config}
+    cfg = dict(cfg)
+    char_fonts = cfg.pop("char_fonts", None)
+    char_sizes = cfg.pop("char_sizes", None)
+    if cfg.pop("char_fonts_from_text", False):
+        # Synthetic per-character payload derived from the span text —
+        # the sandbox stand-in for pdfminer's per-LTChar fontname/height
+        # stream (components.py:174-182,199-207): deterministic and
+        # SQL-reproducible so the font-MODE path (Counter semantics) can
+        # be oracle-verified end to end.
+        char_fonts = [
+            [f"cf{ord(c) % 3}" for c in t] if isinstance(t, str) else []
+            for t in texts
+        ]
+        char_sizes = [
+            [8.0 + (ord(c) % 5) * 0.5 for c in t] if isinstance(t, str)
+            else []
+            for t in texts
+        ]
     return Doc(
         doc_id,
         page=layout["page"],
@@ -52,6 +70,8 @@ def doc_from_arrays(
         offset=offsets_arr,
         font_name=layout["font_name"],
         font_size=layout["font_size"],
+        char_fonts=char_fonts,
+        char_sizes=char_sizes,
         page_width=layout["page_width"],
         page_height=layout["page_height"],
         **cfg,

@@ -97,6 +97,7 @@ _ELEMENTS_ARROW = pa.schema(
         ("y0", pa.float64()),
         ("y1", pa.float64()),
         ("text", pa.string()),
+        ("text_raw", pa.string()),
         ("font_name", pa.string()),
         ("font_size", pa.float64()),
         ("font", pa.string()),
@@ -113,8 +114,8 @@ def parse_elements_arrow_batch(
 ) -> pa.RecordBatch:
     cols = {name: [] for name in (
         "doc_id", "idx", "page_number", "page_width", "page_height",
-        "x0", "x1", "y0", "y1", "text", "font_name", "font_size", "font",
-        "kind", "media_ref",
+        "x0", "x1", "y0", "y1", "text", "text_raw", "font_name",
+        "font_size", "font", "kind", "media_ref",
     )}
     for _, doc_id, doc in _iter_docs(batch, config):
         if isinstance(doc, DocError):
@@ -137,6 +138,7 @@ def parse_elements_arrow_batch(
         cols["y0"].append(doc.y0)
         cols["y1"].append(doc.y1)
         cols["text"].append(doc.text_stripped)
+        cols["text_raw"].append(doc.text_raw)
         cols["font_name"].append(doc.font_name)
         cols["font_size"].append(doc.font_size)
         cols["font"].append(doc.font)

@@ -239,6 +239,91 @@ def pp_font_mapping_regex(spark, sf_dir):
     return els.select("doc_id", "idx", "font")
 
 
+def _font_mode_oracle() -> str:
+    """DuckDB mirror of the per-character font MODE path
+    (components.py:160-211): synthetic char payload cf{cp%3} /
+    8+(cp%5)*0.5 per character of the span text; mode = max count with
+    FIRST-SEEN tie-break (Counter.most_common); media spans (no chars)
+    fall back to the layout font formula."""
+    return (
+        _ora_cte()
+        + """,
+ch AS (
+  SELECT doc_id, idx,
+         unicode(substr(text, CAST(pos AS INTEGER), 1)) AS cp, pos
+  FROM (SELECT doc_id, idx, text,
+               unnest(range(1, length(text) + 1)) AS pos
+        FROM elements WHERE kind = 'text')
+),
+fmode AS (
+  SELECT doc_id, idx, fname FROM (
+    SELECT doc_id, idx, 'cf' || CAST(cp % 3 AS VARCHAR) AS fname,
+           count(*) AS cnt, min(pos) AS fp,
+           row_number() OVER (PARTITION BY doc_id, idx
+               ORDER BY count(*) DESC, min(pos)) AS rn
+    FROM ch GROUP BY doc_id, idx, cp % 3
+  ) WHERE rn = 1
+),
+smode AS (
+  SELECT doc_id, idx, h FROM (
+    SELECT doc_id, idx, 8 + (cp % 5) * 0.5 AS h,
+           row_number() OVER (PARTITION BY doc_id, idx
+               ORDER BY count(*) DESC, min(pos)) AS rn
+    FROM ch GROUP BY doc_id, idx, cp % 5
+  ) WHERE rn = 1
+)
+SELECT e.doc_id, e.idx,
+       COALESCE(f.fname,
+                'f' || CAST((e.o + CAST(substr(e.doc_id, 5) AS BIGINT)) % 3
+                            AS VARCHAR)) AS font_name,
+       CAST(COALESCE(round(s.h, 1),
+                8 + ((e.o * (CAST(substr(e.doc_id, 5) AS BIGINT) % 11)) % 4))
+            AS DOUBLE) AS font_size
+FROM elements e
+LEFT JOIN fmode f ON e.doc_id = f.doc_id AND e.idx = f.idx
+LEFT JOIN smode s ON e.doc_id = s.doc_id AND e.idx = s.idx"""
+    )
+
+
+@q("pp_font_mode", _font_mode_oracle())
+def pp_font_mode(spark, sf_dir):
+    """font_name/font_size as the MODE over per-character payloads
+    (components.py:160-211): most common char fontname / raw height,
+    first-seen tie-break, round-the-winner (not mode-of-rounded)."""
+    els = parse_elements(
+        _ora_docs(spark, sf_dir), config={"char_fonts_from_text": True}
+    )
+    return els.select("doc_id", "idx", "font_name", "font_size")
+
+
+_PAD_SPANS = (
+    "transform(spans, s -> named_struct("
+    "'kind', s.kind, "
+    "'text', CASE WHEN s.text IS NULL THEN NULL"
+    "             ELSE '  ' || s.text || ' ' END, "
+    "'media_ref', s.media_ref, 'offset', s.offset))"
+)
+
+
+@q(
+    "pp_text_raw",
+    _ora_cte()
+    + """
+SELECT doc_id, idx, text, '  ' || text || ' ' AS text_raw
+FROM elements WHERE text = 'HDR:'""",
+)
+def pp_text_raw(spark, sf_dir):
+    """stripped=False text surface (components.py:306-318,
+    filtering.py:148-161): spans padded with whitespace in-flight; the
+    raw-equality filter must match the padded form while the stripped
+    column still equals the reference text."""
+    padded = _ora_docs(spark, sf_dir).withColumn("spans", F.expr(_PAD_SPANS))
+    ef = ElementFrame(parse_elements(padded))
+    return ef.filter_by_text_equal("  HDR: ", stripped=False).df.select(
+        "doc_id", "idx", "text", "text_raw"
+    )
+
+
 @q(
     "pp_extract_spans",
     _ora_cte()

@@ -54,6 +54,7 @@ ELEMENTS_SCHEMA = StructType(
         StructField("y0", DoubleType()),
         StructField("y1", DoubleType()),
         StructField("text", StringType()),
+        StructField("text_raw", StringType()),
         StructField("font_name", StringType()),
         StructField("font_size", DoubleType()),
         StructField("font", StringType()),

@@ -223,3 +223,95 @@ class TestPages:
         doc = make_doc([make_element()])
         assert doc.page_width(1) == 100.0
         assert doc.page_height(1) == 100.0
+
+
+class TestCharFontMode:
+    """Per-character font MODE (components.py:160-211): most common
+    char fontname / raw height, Counter.most_common first-seen
+    tie-break, round applied to the winning height."""
+
+    def _doc(self, char_fonts=None, char_sizes=None, **config):
+        return Doc(
+            "test-000000",
+            page=[1, 1],
+            x0=[0, 0], x1=[5, 5], y0=[10, 0], y1=[15, 5],
+            text=["ab", "cd"],
+            font_name=["layoutF", "layoutF"],
+            font_size=[7, 7],
+            char_fonts=char_fonts,
+            char_sizes=char_sizes,
+            **config,
+        )
+
+    def test_mode_first_seen_matches_counter(self):
+        from collections import Counter
+
+        from py_pdf_parser_spark.kernel.doc import _mode_first_seen
+
+        cases = [
+            ["a", "b", "b", "a"],          # tie -> first seen ("a")
+            ["b", "a", "a", "b"],          # tie -> "b"
+            ["x"],
+            ["p", "q", "q"],
+            [3.0, 2.0, 3.0, 2.0, 1.0],
+            [1.5, 2.5, 2.5],
+        ]
+        for vals in cases:
+            assert _mode_first_seen(vals) == Counter(vals).most_common(1)[0][0]
+
+    def test_font_name_is_mode(self):
+        doc = self._doc(
+            char_fonts=[["A", "B", "B"], ["C", "D", "C"]],
+            char_sizes=[[10.0] * 3, [10.0] * 3],
+        )
+        assert list(doc.font_name) == ["B", "C"]
+
+    def test_font_name_tie_breaks_first_seen(self):
+        doc = self._doc(
+            char_fonts=[["A", "B", "B", "A"], ["B", "A", "A", "B"]],
+            char_sizes=[[10.0] * 4, [10.0] * 4],
+        )
+        assert list(doc.font_name) == ["A", "B"]
+
+    def test_font_size_rounds_the_winning_mode(self):
+        # mode of RAW heights (1.234) is computed first, THEN rounded —
+        # not the mode of pre-rounded values.
+        doc = self._doc(
+            char_fonts=[["A", "A"], ["A", "A"]],
+            char_sizes=[[1.234, 1.234, 9.0], [10.06, 10.06]],
+        )
+        assert list(doc.font_size) == [1.2, 10.1]
+
+    def test_font_size_precision_applies_to_mode(self):
+        doc = self._doc(
+            char_fonts=[["A"], ["A"]],
+            char_sizes=[[1.234], [1.234]],
+            font_size_precision=0,
+        )
+        # round(1.234, 0) -> 1.0 (float stays float with ndigits given,
+        # so the reference's f-string renders "1.0", components.py:208-231)
+        assert list(doc.font_size) == [1.0, 1.0]
+        assert all(f == "A,1.0" for f in doc.font)
+
+    def test_empty_char_list_falls_back_to_layout(self):
+        doc = self._doc(
+            char_fonts=[[], ["Z"]],
+            char_sizes=[[], [6.0]],
+        )
+        assert list(doc.font_name) == ["layoutF", "Z"]
+        assert list(doc.font_size) == [7.0, 6.0]
+
+    def test_char_lists_follow_element_reordering(self):
+        # Element at y0=0 sorts AFTER y0=10 under L2R_T2B; char payloads
+        # are supplied in INPUT order and must follow their element.
+        doc = Doc(
+            "test-000000",
+            page=[1, 1],
+            x0=[0, 0], x1=[5, 5], y0=[0, 10], y1=[5, 15],
+            text=["low", "high"],
+            char_fonts=[["L"], ["H"]],
+            char_sizes=[[5.0], [9.0]],
+        )
+        assert list(doc.text_raw) == ["high", "low"]
+        assert list(doc.font_name) == ["H", "L"]
+        assert list(doc.font_size) == [9.0, 5.0]
