@@ -358,13 +358,27 @@ def rebalance(
     (span-count above threshold) are a tiny fraction by count and are
     round-robin repartitioned so no task gets more than ~one of them.
     """
-    cost = F.size("spans")
+    cost = _doc_cost(docs_df)
     parallelism = docs_df.sparkSession.sparkContext.defaultParallelism
     light = docs_df.where(cost <= heavy_threshold)
     heavy = docs_df.where(cost > heavy_threshold)
     if heavy_partitions is None:
         heavy_partitions = parallelism
     return light.unionByName(heavy.repartition(heavy_partitions))
+
+
+def _doc_cost(docs_df: DataFrame):
+    """Per-document cost for the skew split.
+
+    Prefer the ingest-persisted ``n_spans`` top-level column: it is a
+    stats-prunable parquet predicate, so the light and heavy branch
+    scans skip each other's files/row-groups (combined I/O ~= one
+    corpus read).  ``size(spans)`` is the fallback for inputs without
+    it — correct, but each branch then reads the full corpus.
+    """
+    if "n_spans" in docs_df.columns:
+        return F.col("n_spans")
+    return F.size("spans")
 
 
 def extract_spans_rebalanced(
@@ -384,8 +398,14 @@ def extract_spans_rebalanced(
     scan+kernel CONCURRENTLY with the heavy scan+shuffle, so the second
     scan hides behind the first and only genuinely pathological docs
     (span count > threshold, ~0.5%% of a crawl) pay a (tiny) shuffle.
+
+    With the ingest-persisted ``n_spans`` column (see ``_doc_cost``),
+    the branch predicates push to parquet stats: the heavy scan opens
+    only row-groups whose max(n_spans) exceeds the threshold and the
+    light scan skips exactly those, so the two branches read DISJOINT
+    bytes — combined I/O is one corpus read, not two.
     """
-    cost = F.size("spans")
+    cost = _doc_cost(docs_df)
     if heavy_partitions is None:
         heavy_partitions = spark.sparkContext.defaultParallelism
     light = docs_df.where(cost <= heavy_threshold)
@@ -463,36 +483,47 @@ def run_job(
                 spark, wave_docs, heavy_threshold=heavy_threshold,
                 with_bucket=True,
             )
+            # Per-bucket lineage metrics ride on the write itself via
+            # observe(): at 100 TB a read-back of everything just
+            # written would be a second full corpus scan per wave.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            aggs = []
+            for b in wave:
+                c = F.col("bucket") == b
+                aggs.append(
+                    F.sum(F.when(c, 1).otherwise(0)).alias(f"dc_{b}")
+                )
+                aggs.append(
+                    F.sum(F.when(c, F.col("n_spans")).otherwise(0)).alias(
+                        f"ec_{b}"
+                    )
+                )
+                aggs.append(
+                    F.sum(
+                        F.when(c & (F.col("status") == "error"), 1)
+                        .otherwise(0)
+                    ).alias(f"er_{b}")
+                )
+            extracted = extracted.observe(obs, *aggs)
             # Dynamic partition overwrite: re-running a wave replaces only
             # its own bucket partitions — idempotent retries.
             extracted.write.partitionBy("bucket").mode("overwrite").parquet(
                 f"{output_dir}/extracted"
             )
             wall_ms = int((time.time() - t0) * 1000)
-            summary = (
-                spark.read.parquet(f"{output_dir}/extracted")
-                .where(F.col("bucket").isin(wave))
-                .groupBy("bucket")
-                .agg(
-                    F.count("*").alias("doc_count"),
-                    F.sum("n_spans").alias("element_count"),
-                    F.sum(
-                        F.when(F.col("status") == "error", 1).otherwise(0)
-                    ).alias("error_count"),
-                )
-                .collect()
-            )
+            m = obs.get
             lineage_rows = [
                 (
-                    int(r["bucket"]), int(r["doc_count"]),
-                    int(r["element_count"]), int(r["error_count"]), "ok",
-                    attempt_nums[int(r["bucket"])], wall_ms,
+                    b, int(m[f"dc_{b}"] or 0), int(m[f"ec_{b}"] or 0),
+                    int(m[f"er_{b}"] or 0), "ok", attempt_nums[b], wall_ms,
                 )
-                for r in summary
+                for b in wave
             ]
             stats["processed_buckets"] += len(wave)
-            stats["docs"] += sum(r["doc_count"] for r in summary)
-            stats["errors"] += sum(r["error_count"] for r in summary)
+            stats["docs"] += sum(r[1] for r in lineage_rows)
+            stats["errors"] += sum(r[3] for r in lineage_rows)
         except Exception:
             wall_ms = int((time.time() - t0) * 1000)
             lineage_rows = [

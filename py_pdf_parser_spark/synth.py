@@ -47,6 +47,13 @@ SPANS_ARROW_SCHEMA = pa.schema(
                 )
             ),
         ),
+        # Span count as a TOP-LEVEL column: size(spans) cannot be pushed
+        # to parquet stats, a plain int64 can — the skew split in
+        # extract_spans_rebalanced becomes a stats-prunable predicate,
+        # so the light/heavy branches read disjoint files instead of
+        # scanning the corpus twice (pathological docs are clustered
+        # into their own files, making per-file min/max stats tight).
+        ("n_spans", pa.int64()),
     ]
 )
 
@@ -76,7 +83,11 @@ def _write_dataset(rows: Iterable[Row], out_dir: str) -> str:
         if not buf:
             return
         table = pa.Table.from_pydict(
-            {"doc_id": [r[0] for r in buf], "spans": [r[1] for r in buf]},
+            {
+                "doc_id": [r[0] for r in buf],
+                "spans": [r[1] for r in buf],
+                "n_spans": [len(r[1]) for r in buf],
+            },
             schema=SPANS_ARROW_SCHEMA,
         )
         pq.write_table(table, f"{tmp_dir}/part-{file_no:05d}.parquet")

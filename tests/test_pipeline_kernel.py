@@ -26,6 +26,7 @@ def _batch(rows):
                 ]
                 for r in rows
             ],
+            "n_spans": [len(r[1]) for r in rows],
         },
         schema=SPANS_ARROW_SCHEMA,
     ).to_batches()[0]

@@ -203,6 +203,22 @@ class TestExtract:
         out = extract_spans(spark, balanced)
         assert out.where(F.col("status") == "error").count() == 0
 
+    def test_skew_split_pushes_n_spans_to_scan(self, spark):
+        """The light/heavy cost split must reach the parquet scan as a
+        stats-prunable n_spans predicate (one-corpus-read I/O), not a
+        post-scan size(spans) filter."""
+        from py_pdf_parser_spark.pipeline import extract_spans_rebalanced
+
+        path = ensure_mixed_corpus(0.001, skew=True)
+        docs = spark.read.parquet(path)
+        assert "n_spans" in docs.columns
+        out = extract_spans_rebalanced(spark, docs, heavy_threshold=512)
+        plan = out._jdf.queryExecution().toString()
+        assert "GreaterThan(n_spans,512)" in plan
+        assert "LessThanOrEqual(n_spans,512)" in plan
+        # and the split is lossless
+        assert out.count() == docs.count()
+
 
 class TestCheckpointResume:
     def test_resume_skips_completed_buckets(self, spark, tmp_path):
