@@ -227,18 +227,21 @@ def _kernel_scaling(corpus_path: str) -> dict:
 
     # Interleaved best-of: back-to-back repeats of one level share any
     # host-noise window and fabricate super/sub-linear artifacts.
-    best = {2: 0.0, 8: 0.0, 32: 0.0}
+    # Levels clamp to the available CPUs (taskset ids go negative past
+    # CPUS and the whole bench would abort on a smaller host).
+    levels = sorted({min(n, CPUS) for n in (2, 8, 32) if CPUS >= 2})
+    best = {n: 0.0 for n in levels}
     for _ in range(2):
-        for n in (2, 8, 32):
+        for n in levels:
             best[n] = max(best[n], run_once(n))
-    tp2, tp8, tp32 = best[2], best[8], best[32]
-    return {
-        "docs_per_sec_2procs": round(tp2, 1),
-        "docs_per_sec_8procs": round(tp8, 1),
-        "docs_per_sec_32procs": round(tp32, 1),
-        "efficiency_2_to_8": round(tp8 / (4 * tp2), 3),
-        "efficiency_8_to_32": round(tp32 / (4 * tp8), 3),
-    }
+    out = {}
+    for n in levels:
+        out[f"docs_per_sec_{n}procs"] = round(best[n], 1)
+    for lo, hi in zip(levels, levels[1:]):
+        out[f"efficiency_{lo}_to_{hi}"] = round(
+            best[hi] / ((hi / lo) * best[lo]), 3
+        )
+    return out
 
 
 # Target job length at the SMALL cluster level, given the pipeline

@@ -383,6 +383,51 @@ class ElementFrame:
             .drop("_side", "_sides", "_rn")
         )
 
+    # -- sections (SURVEY.md §1.6: per-doc sections table + range join) -------
+
+    def filter_by_section_name(
+        self, sections: DataFrame, name: str
+    ) -> "ElementFrame":
+        """Elements in ANY section with this base name
+        (filtering.py:271-287): range-join membership
+        ``start_idx <= idx <= end_idx`` under a doc_id equi-join.  The
+        sections side is per-doc-tiny; the equi key keeps the join
+        co-located over the bucketed elements table (elements can be in
+        multiple sections, hence the key-dedup)."""
+        s = sections.where(F.col("name") == name).select(
+            "doc_id", "start_idx", "end_idx"
+        )
+        joined = (
+            self.df.join(s, on="doc_id")
+            .where(
+                (F.col("idx") >= F.col("start_idx"))
+                & (F.col("idx") <= F.col("end_idx"))
+            )
+            .drop("start_idx", "end_idx")
+            .dropDuplicates(self._KEY)
+        )
+        return self._with(joined)
+
+    def filter_by_section(
+        self, sections: DataFrame, unique_name: str
+    ) -> "ElementFrame":
+        """Elements of ONE section by unique name (filtering.py:289-305);
+        missing section -> empty frame (the reference's documented
+        missing-section behavior at list level)."""
+        s = sections.where(F.col("unique_name") == unique_name).select(
+            "doc_id", "start_idx", "end_idx"
+        )
+        joined = (
+            self.df.join(s, on="doc_id")
+            .where(
+                (F.col("idx") >= F.col("start_idx"))
+                & (F.col("idx") <= F.col("end_idx"))
+            )
+            .drop("start_idx", "end_idx")
+            .dropDuplicates(self._KEY)
+        )
+        return self._with(joined)
+
     # -- terminal helpers ------------------------------------------------------
 
     def fonts(self) -> DataFrame:
@@ -394,3 +439,55 @@ class ElementFrame:
 
     def ordered(self) -> DataFrame:
         return self.df.orderBy("doc_id", "idx")
+
+
+def sections_frame(
+    starts: ElementFrame,
+    ends: ElementFrame,
+    name: str,
+    include_last_element: bool = True,
+) -> DataFrame:
+    """Per-document sections table — the distributed
+    ``Sectioning.create_section`` (sectioning.py:113-156).
+
+    The k-th start element pairs with the k-th end element of each
+    document (rank by idx), mirroring a driver loop that calls
+    ``create_section(name, start, end)`` once per marker pair in
+    document order.  ``seq`` is the per-name counter, so
+    ``unique_name = f"{name}_{seq}"`` — multiple sections per name per
+    document, exactly the reference's counter semantics.
+
+    ``include_last_element=False`` decrements end_idx
+    (sectioning.py:146-153); pairs whose interval would be empty or
+    inverted (the reference raises InvalidSectionError per call) are
+    DROPPED here — per-row error semantics, consistent with the
+    pipeline's status-column error containment.
+
+    Output: (doc_id, name, seq, unique_name, start_idx, end_idx).
+    One tiny per-doc shuffle for the rank windows (reuses the elements
+    table's doc_id partitioning when already clustered).
+    """
+    ws = Window.partitionBy("doc_id").orderBy("start_idx")
+    we = Window.partitionBy("doc_id").orderBy("end_idx")
+    s = starts.df.select(
+        "doc_id", F.col("idx").alias("start_idx")
+    ).withColumn("seq", F.row_number().over(ws) - 1)
+    e = ends.df.select("doc_id", F.col("idx").alias("end_idx")).withColumn(
+        "seq", F.row_number().over(we) - 1
+    )
+    out = s.join(e, ["doc_id", "seq"])
+    if not include_last_element:
+        out = out.withColumn("end_idx", F.col("end_idx") - 1)
+    return (
+        out.where(F.col("start_idx") <= F.col("end_idx"))
+        .select(
+            "doc_id",
+            F.lit(name).alias("name"),
+            F.col("seq").cast("long").alias("seq"),
+            F.concat(F.lit(name), F.lit("_"), F.col("seq")).alias(
+                "unique_name"
+            ),
+            "start_idx",
+            "end_idx",
+        )
+    )

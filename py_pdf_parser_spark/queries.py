@@ -635,23 +635,18 @@ def pp_set_xor(spark, sf_dir):
     "pp_sections",
     _ora_cte()
     + """
-SELECT h.doc_id, 'body' AS name, 'body_0' AS unique_name,
-       h.idx AS start_idx, e.idx AS end_idx
+SELECT h.doc_id, 'body' AS name, CAST(0 AS BIGINT) AS seq,
+       'body_0' AS unique_name, h.idx AS start_idx, e.idx AS end_idx
 FROM hdr h JOIN endm e ON h.doc_id = e.doc_id""",
 )
 def pp_sections(spark, sf_dir):
+    from .frame import sections_frame
+
     ef = _ef(spark, sf_dir)
-    h = ef.filter_by_text_equal("HDR:").df.select(
-        "doc_id", F.col("idx").alias("start_idx")
-    )
-    e = ef.filter_by_text_equal("END:").df.select(
-        "doc_id", F.col("idx").alias("end_idx")
-    )
-    return (
-        h.join(e, "doc_id")
-        .withColumn("name", F.lit("body"))
-        .withColumn("unique_name", F.lit("body_0"))
-        .select("doc_id", "name", "unique_name", "start_idx", "end_idx")
+    return sections_frame(
+        ef.filter_by_text_equal("HDR:"),
+        ef.filter_by_text_equal("END:"),
+        "body",
     )
 
 
@@ -665,13 +660,63 @@ JOIN endm t ON e.doc_id = t.doc_id
 WHERE e.idx >= s.idx AND e.idx <= t.idx""",
 )
 def pp_section_elements(spark, sf_dir):
+    from .frame import sections_frame
+
     ef = _ef(spark, sf_dir)
-    return _keys(
-        ef.between(
-            ef.filter_by_text_equal("HDR:"),
-            ef.filter_by_text_equal("END:"),
-            inclusive=True,
+    sections = sections_frame(
+        ef.filter_by_text_equal("HDR:"),
+        ef.filter_by_text_equal("END:"),
+        "body",
+    )
+    return _keys(ef.filter_by_section_name(sections, "body"))
+
+
+@q(
+    "pp_sections_multi",
+    _ora_cte()
+    + """,
+srow AS (
+  SELECT doc_id, idx,
+         row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS seq
+  FROM elements WHERE (o % 6) % 3 = 0
+),
+erow AS (
+  SELECT doc_id, idx,
+         row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS seq
+  FROM elements WHERE (o % 6) % 3 = 2
+),
+sect AS (
+  SELECT s.doc_id, 'row_' || CAST(s.seq AS VARCHAR) AS unique_name,
+         s.idx AS start_idx, e.idx AS end_idx
+  FROM srow s JOIN erow e ON s.doc_id = e.doc_id AND s.seq = e.seq
+  WHERE s.idx <= e.idx
+)
+SELECT DISTINCT el.doc_id, s.unique_name, el.idx
+FROM elements el JOIN sect s
+  ON el.doc_id = s.doc_id
+  AND el.idx >= s.start_idx AND el.idx <= s.end_idx""",
+)
+def pp_sections_multi(spark, sf_dir):
+    """Multiple sections per name per document (the sectioning
+    counter, sectioning.py:113-156): k-th column-0 element pairs with
+    k-th column-2 element per doc; membership by range join.  Elements
+    can belong to several sections, so membership keeps unique_name."""
+    from .frame import sections_frame
+
+    ef = _ef(spark, sf_dir)
+    starts = ef.where(F.col("x0") == 5.0)
+    ends = ef.where(F.col("x0") == 65.0)
+    sections = sections_frame(starts, ends, "row")
+    s = sections.select("doc_id", "unique_name", "start_idx", "end_idx")
+    return (
+        ef.df.select("doc_id", "idx")
+        .join(s, on="doc_id")
+        .where(
+            (F.col("idx") >= F.col("start_idx"))
+            & (F.col("idx") <= F.col("end_idx"))
         )
+        .select("doc_id", "unique_name", "idx")
+        .distinct()
     )
 
 

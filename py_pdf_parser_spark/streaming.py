@@ -98,18 +98,29 @@ def stream_sessionize(
         else:
             session_id, n_events, start_s, last_s = 0, 0, None, None
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"].astype("int64") / 1e9:  # epoch seconds
-                if last_s is None or ts - last_s > gap_s:
-                    if n_events:
-                        out.append(
-                            (user_id, session_id, n_events, start_s, last_s)
-                        )
-                    session_id += 1
-                    n_events, start_s = 0, ts
-                n_events += 1
-                last_s = ts
+        # ``pdfs`` is an ITERATOR of Arrow chunks in shuffle order, not
+        # event-time order: a group spanning multiple chunks (more rows
+        # than maxRecordsPerBatch, or several input partitions) would be
+        # folded out of order if each chunk were sorted independently.
+        # Buffer the whole group for this micro-batch, sort ONCE, fold.
+        chunks = list(pdfs)
+        whole = (
+            pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            if chunks
+            else pd.DataFrame({"ts": pd.Series([], dtype="datetime64[ns]")})
+        )
+        for ts in whole["ts"].astype("int64") / 1e9:  # epoch seconds
+            if last_s is None or ts - last_s > gap_s:
+                if n_events:
+                    out.append(
+                        (user_id, session_id, n_events, start_s, last_s)
+                    )
+                session_id += 1
+                n_events, start_s = 0, ts
+            n_events += 1
+            last_s = ts
         out.append((user_id, session_id, n_events, start_s, last_s))
         state.update((session_id, n_events, start_s, last_s))
         yield pd.DataFrame(

@@ -181,6 +181,60 @@ class TestElementFrameDifferential:
         assert lasts == {d: doc.n - 1 for d, doc in docs.items()}
 
 
+class TestSectionsFrame:
+    def test_counter_and_include_last_element(self, spark, ora_docs):
+        from py_pdf_parser_spark.frame import sections_frame
+
+        ef = ElementFrame.from_documents(ora_docs.where("doc_id < 'ora-000005'"))
+        starts = ef.where(F.col("x0") == 5.0)
+        ends = ef.where(F.col("x0") == 65.0)
+        secs = sections_frame(starts, ends, "row").collect()
+        assert secs
+        per_doc = {}
+        for r in secs:
+            assert r["unique_name"] == f"row_{r['seq']}"
+            assert r["start_idx"] <= r["end_idx"]
+            per_doc.setdefault(r["doc_id"], []).append(r["seq"])
+        for seqs in per_doc.values():
+            # per-name counter: dense 0..k-1 per document
+            assert sorted(seqs) == list(range(len(seqs)))
+        incl = {(r["doc_id"], r["seq"]): r["end_idx"] for r in secs}
+        excl = sections_frame(
+            starts, ends, "row", include_last_element=False
+        ).collect()
+        for r in excl:
+            assert r["end_idx"] == incl[(r["doc_id"], r["seq"])] - 1
+
+    def test_membership_matches_kernel(self, spark, ora_docs):
+        from py_pdf_parser_spark.frame import sections_frame
+
+        ef = ElementFrame.from_documents(ora_docs.where("doc_id < 'ora-000010'"))
+        sections = sections_frame(
+            ef.filter_by_text_equal("HDR:"),
+            ef.filter_by_text_equal("END:"),
+            "body",
+        )
+        got = {
+            (r["doc_id"], r["idx"])
+            for r in ef.filter_by_section_name(sections, "body")
+            .df.select("doc_id", "idx")
+            .collect()
+        }
+        want = set()
+        for i in range(10):
+            doc_id = f"ora-{i:06d}"
+            doc = doc_from_spans(doc_id, ora_spans(i))
+            s = doc.elements.filter_by_text_equal("HDR:").extract_single_element()
+            e = doc.elements.filter_by_text_equal("END:").extract_single_element()
+            sec = doc.sectioning.create_section("body", s, e)
+            want |= {(doc_id, int(j)) for j in sec.elements()}
+        assert got == want
+        # unknown unique_name -> empty, not an error
+        assert (
+            ef.filter_by_section(sections, "nope_0").df.count() == 0
+        )
+
+
 class TestExtract:
     def test_extract_statuses_and_spans(self, spark):
         path = ensure_mixed_corpus(0.001)

@@ -117,3 +117,47 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in sessionize(spark.read.parquet(src)).collect()}
     assert got == want
     assert len(want) > 50
+
+
+def test_stream_sessionize_multi_chunk_groups(spark, tmp_path):
+    """A group whose micro-batch rows span several Arrow chunks arrives
+    in shuffle order, not event-time order — the fold must buffer and
+    sort the WHOLE group once (per-chunk sorting folds chunks out of
+    order and corrupts session boundaries).  Forced here with a
+    time-DESCENDING input file and a tiny Arrow batch size."""
+    from pyspark.sql import functions as F
+
+    from py_pdf_parser_spark.events import sessionize
+    from py_pdf_parser_spark.streaming import stream_sessionize
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    in_dir = str(tmp_path / "ev_desc")
+    (
+        spark.read.parquet(src)
+        .repartition(1)
+        .sortWithinPartitions(F.desc("ts"))
+        .write.parquet(in_dir)
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        query = stream_sessionize(spark, in_dir, query_name="sess_chunks")
+        try:
+            query.processAllAvailable()
+            streamed = (
+                spark.table("sess_chunks")
+                .groupBy("user_id", "session_id")
+                .agg(
+                    F.max("n_events").alias("n_events"),
+                    F.min("start_s").alias("start_s"),
+                    F.max("end_s").alias("end_s"),
+                )
+            )
+            got = {tuple(r) for r in streamed.collect()}
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    want = {tuple(r) for r in sessionize(spark.read.parquet(src)).collect()}
+    assert got == want
