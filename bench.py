@@ -40,10 +40,14 @@ BENCH_QUERIES = [
     "pp_memo_extract",
     "pp_ordsum_table",
     "mm_media_features",
+    "pp_font_mode",
+    "pp_sections_multi",
     "td_minhash_signatures",
     "td_simhash",
+    "td_simhash_pairs",
     "td_ngram_jaccard_pairs",
     "td_lsh_candidate_pairs",
+    "td_lsh_pairs_capped",
     "td_exact_dups",
     "emb_cosine_topk",
     "emb_lsh_topk",
