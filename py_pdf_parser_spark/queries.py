@@ -1352,6 +1352,41 @@ def emb_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_emb_table(spark, sf_dir))
 
 
+@q(
+    "emb_ivf_multiprobe",
+    """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, emb AS c_emb FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, e.emb, c.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC,
+                      c.cell_id) AS rn
+  FROM e CROSS JOIN cents c
+), corpus AS (
+  SELECT vec_id, emb, cell_id FROM scored WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb, cell_id AS q_cell
+  FROM scored WHERE vec_id < 10 AND rn <= 2
+), j AS (
+  SELECT q.q_id, a.vec_id,
+         round(list_cosine_similarity(q.q_emb, a.emb), 4) AS cos
+  FROM q JOIN corpus a ON a.cell_id = q.q_cell AND a.vec_id != q.q_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+      AS rank
+  FROM j
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
+)
+def emb_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF ANN (n_probe=2): the query's two nearest cells
+    are probed, recovering most single-probe recall at bounded cost."""
+    return similarity.ivf_topk(_emb_table(spark, sf_dir), n_probe=2)
+
+
 def _sketch_duck(col: str) -> str:
     """DuckDB mirror of similarity._hyperplane_sketch (deterministic
     sign-bit LSH; DuckDB lambda index ``i`` is 1-based → dim = i-1)."""
@@ -1394,6 +1429,38 @@ SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
 )
 def emb_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb_table(spark, sf_dir))
+
+
+def _lsh_multiprobe_oracle() -> str:
+    probes = ", ".join(
+        f"xor(bucket, {1 << h})"
+        for h in range(similarity.N_HYPERPLANES)
+    )
+    return (
+        _emb_lsh_cte()
+        + f""", q AS (
+  SELECT vec_id AS q_id, emb AS q_emb,
+         unnest([bucket, {probes}]) AS q_bucket
+  FROM e WHERE vec_id < 10
+), j AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(q.q_emb, e.emb), 4) AS cos
+  FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id != q.q_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+      AS rank
+  FROM j
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
+    )
+
+
+@q("emb_lsh_multiprobe", _lsh_multiprobe_oracle())
+def emb_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN: probe the query's bucket plus all 8
+    Hamming-1 neighbor buckets (borderline hyperplane flips) — most of
+    single-probe's recall loss back for 9 small bucket probes."""
+    return similarity.lsh_topk(_emb_table(spark, sf_dir), multi_probe=True)
 
 
 @q(

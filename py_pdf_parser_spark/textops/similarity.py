@@ -121,17 +121,43 @@ def ivf_assign(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
     )
 
 
+def _ivf_scored(emb: DataFrame, n_cells: int) -> DataFrame:
+    """(vec_id, embedding, _norm, cell_id, rn) — every vector scored
+    against every centroid, rn = 1-based nearest-cell rank.  Broadcast
+    centroids + one narrow rank window; no corpus shuffle."""
+    cents = with_norm(emb.where(F.col("vec_id") < n_cells)).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("n_cent"),
+    )
+    corpus = with_norm(emb)
+    dot = F.expr(DOT.format(a="embedding", b="c_emb"))
+    scored = corpus.join(F.broadcast(cents)).withColumn(
+        "c_cos", dot / (F.col("_norm") * F.col("n_cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("cell_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id", "embedding", "_norm", "cell_id", "rn"
+    )
+
+
 def ivf_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5,
-    n_cells: int = N_IVF_CELLS,
+    n_cells: int = N_IVF_CELLS, n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact rerank within the query's IVF cell
-    (single-probe; multi-probe = union the next-nearest cells)."""
-    assigned = ivf_assign(emb, n_cells)
-    corpus = assigned.select(
+    """Approximate top-k: exact rerank within the query's ``n_probe``
+    nearest IVF cells.  Multi-probe recovers most single-probe recall
+    loss at the cost of probing n_probe buckets per query — the
+    candidate set stays bucketed (never the whole corpus)."""
+    scored = _ivf_scored(emb, n_cells)
+    corpus = scored.where(F.col("rn") == 1).select(
         "vec_id", "embedding", "cell_id", F.col("_norm").alias("n_c")
     )
-    queries = assigned.where(F.col("vec_id") < n_queries).select(
+    queries = scored.where(
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("cell_id").alias("q_cell"),
@@ -151,11 +177,19 @@ def ivf_topk(
     )
 
 
-def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+def lsh_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5,
+    multi_probe: bool = False,
+) -> DataFrame:
     """Approximate top-k: exact rerank within the query's LSH bucket.
 
-    Recall < 1.0 by construction; at scale, multi-probe (flip one sketch
-    bit) can be unioned in — kept single-probe here for a clean plan.
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's sketch (flip each of the 8 sign bits) —
+    the vectors most likely misplaced by a borderline hyperplane
+    projection — recovering most single-probe recall loss for 9 bucket
+    probes per query instead of 1.  The corpus is still hashed once and
+    never shuffled; each corpus vector lives in exactly one bucket, so
+    probes never duplicate candidates.
     """
     hashed = with_norm(lsh_buckets(emb))
     corpus = hashed.select(
@@ -167,6 +201,17 @@ def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
         F.col("bucket").alias("q_bucket"),
         F.col("_norm").alias("n_q"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << h))
+                for h in range(N_HYPERPLANES)
+            ],
+        )
+        queries = queries.withColumn(
+            "q_bucket", F.explode(probes)
+        )
     dot = F.expr(DOT.format(a="q_emb", b="embedding"))
     joined = (
         corpus.join(
