@@ -1466,11 +1466,13 @@ def emb_lsh_multiprobe(spark, sf_dir):
 @q(
     "emb_dup_pairs",
     _emb_lsh_cte()
-    + """, ec AS (
-  SELECT vec_id, emb, bucket,
-         (row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1)
-             // 256 AS chunk
-  FROM e
+    + """, cnt AS (
+  SELECT bucket, COUNT(*) AS n FROM e GROUP BY bucket
+), ec AS (
+  SELECT e.vec_id, e.emb, e.bucket,
+         CAST('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % CAST(ceil(c.n / 256.0) AS BIGINT) AS chunk
+  FROM e JOIN cnt c ON e.bucket = c.bucket
 ), p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.emb, b.emb), 4) AS cos

