@@ -51,7 +51,9 @@ BENCH_QUERIES = [
     "td_exact_dups",
     "emb_cosine_topk",
     "emb_lsh_topk",
+    "emb_lsh_multiprobe",
     "emb_ivf_topk",
+    "emb_ivf_multiprobe",
     "emb_dup_pairs",
     "ev_windowed_counts",
     "ev_sessionize",
