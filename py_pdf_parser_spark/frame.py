@@ -131,6 +131,23 @@ class ElementFrame:
             F.arrays_overlap(F.col("tags"), F.array(*[F.lit(t) for t in tags]))
         )
 
+    def filter_batch(self, predicate, *cols: str) -> "ElementFrame":
+        """The reference's ``ElementList.filter(predicate)`` UDF hook
+        (filtering.py:107-118) at frame level: ``predicate`` receives a
+        pandas DataFrame with the requested ``cols`` (one row per
+        element, Arrow-batched) and returns a boolean Series.  The
+        vectorized contract replaces the reference's per-row callable —
+        the documented slow path, but batched, never row-at-a-time."""
+        names = list(cols)
+
+        @pandas_udf("boolean")
+        def p(*series: pd.Series) -> pd.Series:
+            batch = pd.concat(series, axis=1)
+            batch.columns = names
+            return predicate(batch).astype(bool)
+
+        return self.where(p(*[F.col(c) for c in names]))
+
     def add_tag(self, tag: str) -> "ElementFrame":
         """Immutable analogue of add_tag_to_elements (filtering.py:97-105)."""
         return self._with(
@@ -315,17 +332,25 @@ class ElementFrame:
             .drop("_rn")
         )
 
-    def move_from(self, anchors: "ElementFrame", count: int = 1) -> "ElementFrame":
+    def move_from(
+        self, anchors: "ElementFrame", count: int = 1, capped: bool = False
+    ) -> "ElementFrame":
         """move_forwards/backwards_from analogue (filtering.py:877-942):
         for each anchor, the element ``count`` positions away WITHIN this
         (filtered) frame's per-doc order.  Out-of-range anchors drop out
-        (the DataFrame analogue of ElementOutOfRangeError).  Window
-        row_number + broadcast join on the shifted rank."""
+        (the DataFrame analogue of ElementOutOfRangeError); with
+        ``capped=True`` the target clamps to the frame's first/last
+        element per doc (filtering.py:905-911,936-942).  Window
+        row_number + join on the shifted rank."""
         w = Window.partitionBy("doc_id").orderBy(F.col("idx").asc())
         ranked = self.df.withColumn("_rn", F.row_number().over(w))
-        anchor_ranks = ranked.join(
+        target = F.col("_rn") + count
+        if capped:
+            n = F.max("_rn").over(Window.partitionBy("doc_id"))
+            target = F.least(F.greatest(target, F.lit(1)), n)
+        anchor_ranks = ranked.withColumn("_target", target).join(
             anchors.df.select("doc_id", "idx"), ["doc_id", "idx"], "leftsemi"
-        ).select("doc_id", (F.col("_rn") + count).alias("_target"))
+        ).select("doc_id", "_target")
         out = (
             ranked.join(
                 anchor_ranks,

@@ -339,6 +339,45 @@ def pp_text_raw(spark, sf_dir):
 
 
 @q(
+    "pp_move_capped",
+    _ora_cte()
+    + """
+SELECT doc_id, idx, text FROM (
+  SELECT doc_id, idx, text,
+         row_number() OVER (PARTITION BY doc_id ORDER BY idx DESC) AS rn
+  FROM elements WHERE kind = 'text'
+) WHERE rn = 1""",
+)
+def pp_move_capped(spark, sf_dir):
+    """move_forwards_from(capped=True) (filtering.py:905-911): an
+    out-of-range move clamps to the frame's last element per doc."""
+    ef = _ef(spark, sf_dir)
+    text_ef = ef.filter_by_kind("text")
+    anchors = text_ef.filter_by_text_equal("HDR:")
+    return text_ef.move_from(anchors, count=10_000, capped=True).df.select(
+        "doc_id", "idx", "text"
+    )
+
+
+@q(
+    "pp_filter_udf",
+    _ora_cte()
+    + """
+SELECT doc_id, idx FROM elements
+WHERE length(text) > 4 AND page_number = 1""",
+)
+def pp_filter_udf(spark, sf_dir):
+    """ElementList.filter(predicate) hook (filtering.py:107-118): an
+    arbitrary Python predicate over element columns, Arrow-batched."""
+    ef = _ef(spark, sf_dir)
+    out = ef.filter_batch(
+        lambda b: b["text"].str.len().gt(4) & b["page_number"].eq(1),
+        "text", "page_number",
+    )
+    return _keys(out)
+
+
+@q(
     "pp_extract_spans",
     _ora_cte()
     + """
@@ -1182,6 +1221,38 @@ FROM h"""
 @q("td_lang_id", _langid_oracle())
 def td_lang_id(spark, sf_dir):
     return analysis.lang_id(_docs_table(spark, sf_dir))
+
+
+@q(
+    "td_token_count_bpe",
+    # regex braces doubled: oracle_sql() runs .format(**paths) over SQLs
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+           '{analysis.BPE_TOKEN_PATTERN.replace("{", "{{").replace("}", "}}")}'
+       )) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+)
+def td_token_count_bpe(spark, sf_dir):
+    return analysis.token_count_bpe(_docs_table(spark, sf_dir))
+
+
+def _rolling_fp_oracle() -> str:
+    k = analysis.ROLL_K
+    h = _H_DUCK.format(s=f"substr(text, CAST(i AS INTEGER), {k})")
+    whole = _H_DUCK.format(s="text")
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(text) >= {k}
+            THEN list_min(list_transform(range(1, length(text) - {k - 2}),
+                 i -> {h}))
+            ELSE {whole} END AS roll_fp
+FROM documents"""
+
+
+@q("td_rolling_fingerprint", _rolling_fp_oracle())
+def td_rolling_fingerprint(spark, sf_dir):
+    return analysis.rolling_fingerprint(_docs_table(spark, sf_dir))
 
 
 @q(

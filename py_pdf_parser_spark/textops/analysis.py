@@ -32,6 +32,55 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer classes (no lookahead, so the same pattern
+# runs on Java regex (Spark) and RE2 (DuckDB) with identical matches:
+# the alternation branches are disjoint at any start position).
+BPE_TOKEN_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    classes (word / number / punctuation runs with optional leading
+    space, whitespace runs) — the cheap proxy for 'how many tokens will
+    the tokenizer emit' that corpus budgeting needs."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+ROLL_K = 8  # rolling window width (chars)
+
+
+def rolling_fingerprint(docs: DataFrame, k: int = ROLL_K) -> DataFrame:
+    """Rolling-hash document fingerprint: min over all k-char windows of
+    the md5-based window hash (the winnowing min-sketch with w = whole
+    doc).  Position-robust: unlike a whole-text digest, a doc that
+    shares its content with one edit still collides on most windows, so
+    shard-level near-dup grouping can bucket on it.  Higher-order exprs
+    run interpreted, but per-row over short texts — narrow, no shuffle.
+    Short docs (< k chars) fall back to hashing the whole text."""
+    h = (
+        "cast(conv(substring(md5(substring(text, i, {k})), 1, 8), 16, 10) "
+        "as bigint)"
+    ).format(k=k)
+    whole = (
+        "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"
+    )
+    # Explicit length guard: sequence(1, 0) generates a DESCENDING
+    # [1, 0] in Spark, so short docs must take the whole-text branch.
+    expr = (
+        f"IF(length(text) >= {k}, "
+        f"array_min(transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> {h})), {whole})"
+    )
+    return docs.select(
+        "doc_id", F.expr(expr).alias("roll_fp")
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio quality signals."""
     n_chars = F.length("text").cast("long")
