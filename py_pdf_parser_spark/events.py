@@ -90,6 +90,27 @@ def sessionize(
     )
 
 
+def windowed_distinct_users(
+    events: DataFrame, minutes: int = WINDOW_MINUTES
+) -> DataFrame:
+    """Exact distinct users per tumbling window (reach/uniques).
+
+    count(distinct) plans as a two-stage aggregate (partial distinct
+    per partition, then merge) — shuffle carries the distinct
+    (window, user) pairs, not raw events.  At extreme cardinality swap
+    in approx_count_distinct (HLL) — kept exact here so the DuckDB
+    oracle can hash-match."""
+    win = F.window(F.col("ts"), f"{minutes} minutes")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            _epoch(F.col("w.start")).cast("long").alias("win_start"),
+            "n_users",
+        )
+    )
+
+
 def json_prop_stats(events: DataFrame) -> DataFrame:
     """Parse the ``props`` JSON column and aggregate by extracted key.
 

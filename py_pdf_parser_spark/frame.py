@@ -371,6 +371,19 @@ class ElementFrame:
             .drop("_rn")
         )
 
+    def slice_per_doc(self, start: int, stop: int) -> "ElementFrame":
+        """``list[start:stop]`` analogue (filtering.py:1041-1053,
+        non-negative bounds): elements at per-doc sorted positions
+        [start, stop) within this frame."""
+        w = Window.partitionBy("doc_id").orderBy(F.col("idx").asc())
+        return self._with(
+            self.df.withColumn("_rn", F.row_number().over(w))
+            .where(
+                (F.col("_rn") >= start + 1) & (F.col("_rn") <= stop)
+            )
+            .drop("_rn")
+        )
+
     # -- set algebra on (doc_id, idx) (filtering.py:1077-1100) ----------------
 
     _KEY = ["doc_id", "idx"]

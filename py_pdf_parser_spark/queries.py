@@ -339,6 +339,22 @@ def pp_text_raw(spark, sf_dir):
 
 
 @q(
+    "pp_getitem_slice",
+    _ora_cte()
+    + """
+SELECT doc_id, idx, text FROM (
+  SELECT doc_id, idx, text,
+         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn
+  FROM elements WHERE kind = 'text'
+) WHERE rn >= 3 AND rn <= 7""",
+)
+def pp_getitem_slice(spark, sf_dir):
+    """ElementList slice [2:7] per document (filtering.py:1041-1053)."""
+    ef = _ef(spark, sf_dir).filter_by_kind("text")
+    return ef.slice_per_doc(2, 7).df.select("doc_id", "idx", "text")
+
+
+@q(
     "pp_move_capped",
     _ora_cte()
     + """
@@ -1599,6 +1615,28 @@ FROM s GROUP BY user_id, session_id""",
 )
 def ev_sessionize(spark, sf_dir):
     return events_ops.sessionize(_events_table(spark, sf_dir))
+
+
+@q(
+    "td_dedup_survivors",
+    """
+SELECT MIN(doc_id) AS doc_id, md5(text) AS digest,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM documents GROUP BY md5(text)""",
+)
+def td_dedup_survivors(spark, sf_dir):
+    return dedup.dedup_survivors(_docs_table(spark, sf_dir))
+
+
+@q(
+    "ev_distinct_users",
+    """
+SELECT CAST(floor(epoch(ts)) AS BIGINT) // 300 * 300 AS win_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1""",
+)
+def ev_distinct_users(spark, sf_dir):
+    return events_ops.windowed_distinct_users(_events_table(spark, sf_dir))
 
 
 @q(

@@ -41,6 +41,23 @@ def exact_dups(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_survivors(docs: DataFrame) -> DataFrame:
+    """Exact dedup's OUTPUT side: one surviving doc per content digest
+    (deterministic: min doc_id wins), with the group size it
+    represents.  One map-side-combinable min/count aggregation on the
+    digest — the actual 'write the deduplicated corpus' operator that
+    ``exact_dups`` diagnostics feed."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .select("doc_id", "digest", "group_size")
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3, keep: tuple = ()) -> DataFrame:
     """Distinct n-gram word shingles per doc (joined with '_');
     ``keep`` passes extra projected columns through."""
