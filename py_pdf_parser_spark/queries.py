@@ -1654,10 +1654,10 @@ def ev_json_props(spark, sf_dir):
     return events_ops.json_prop_stats(_events_table(spark, sf_dir))
 
 
-def _lsh_pairs_oracle(source_cte: str = _SHINGLES_DUCK,
-                      max_bucket: int = 256) -> str:
-    """DuckDB mirror of dedup.lsh_candidate_pairs: wide minhash mins in
-    k order → per-band md5 buckets → chunk-capped bucket self-join."""
+def _lsh_pairs_cte(source_cte: str = _SHINGLES_DUCK,
+                   max_bucket: int = 256) -> str:
+    """WITH body ending in capped(doc_id, band, bucket, chunk) — the
+    shared prefix of the LSH pair/cluster oracles."""
     h = _H_DUCK.format(s="s")
     mins = ", ".join(
         f"CAST(list_min(list_transform(shingles, "
@@ -1682,16 +1682,62 @@ capped AS (
   SELECT doc_id, band, bucket,
          (row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) - 1)
              // {max_bucket} AS chunk
-  FROM banded)
+  FROM banded)"""
+
+
+def _lsh_pairs_oracle(source_cte: str = _SHINGLES_DUCK,
+                      max_bucket: int = 256) -> str:
+    """DuckDB mirror of dedup.lsh_candidate_pairs: wide minhash mins in
+    k order → per-band md5 buckets → chunk-capped bucket self-join."""
+    return (
+        _lsh_pairs_cte(source_cte, max_bucket)
+        + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM capped a JOIN capped b
   ON a.band = b.band AND a.bucket = b.bucket AND a.chunk = b.chunk
 WHERE a.doc_id < b.doc_id"""
+    )
+
+
+def _dup_clusters_oracle() -> str:
+    """Connected components over the capped LSH pair graph via a
+    recursive transitive closure; cluster_id = min reachable doc_id."""
+    body = (
+        _lsh_pairs_cte()
+        + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src"""
+    )
+    # the reach member is recursive: the whole WITH list needs RECURSIVE
+    return body.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
 
 
 @q("td_lsh_candidate_pairs", _lsh_pairs_oracle())
 def td_lsh_candidate_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_docs_table(spark, sf_dir))
+
+
+@q("td_dup_clusters", _dup_clusters_oracle())
+def td_dup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components over the LSH candidate
+    graph by iterative min-label propagation (A~B, B~C => one cluster
+    even when A~C was never a candidate pair)."""
+    return dedup.dup_clusters(_docs_table(spark, sf_dir))
 
 
 # Pathological-bucket stress: the base corpus plus 300 byte-identical

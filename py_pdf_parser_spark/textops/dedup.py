@@ -329,6 +329,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_clusters(
+    docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH
+    candidate-pair graph, cluster_id = min doc_id in the component.
+
+    The grouping operator a dedup pipeline actually keeps ("pick one
+    doc per near-dup cluster") — pairs alone don't compose: A~B and
+    B~C must land A, B, C in one cluster even if A~C was never a
+    candidate pair.
+
+    Iterative min-label propagation (the standard large-graph CC under
+    a hash-partitioned join engine, cf. GraphX/GraphFrames):
+    each round every node takes the min label over itself and its
+    neighbors; converges in O(component diameter) rounds.  The loop is
+    driver-side but each round is one distributed join + aggregate on
+    doc_id keys; labels persist per round and the loop EXITS on a
+    converged count (no Spark iteration is wasted re-deriving prior
+    rounds — lineage is truncated by re-persisting).  Near-dup
+    components are overwhelmingly cliques or tight clusters (diameter
+    1-3), so rounds stay in single digits; ``max_iter`` is a safety
+    rail (raises if ever hit, rather than returning wrong clusters).
+    """
+    edges = lsh_candidate_pairs(docs, rows_per_band, max_bucket)
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = docs.select("doc_id").distinct().withColumn(
+        "lbl", F.col("doc_id")
+    ).persist()
+    labels.count()
+    sym = sym.persist()
+    for _ in range(max_iter):
+        # neighbor labels: for each edge (a, b), b's current label
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("lbl").alias("nlbl"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nlbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(
+                nbr.select(F.col("doc_a").alias("doc_id"), "nmin"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds"
+        )
+    sym.unpersist()
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
 SIMHASH_BITS = 32
 
 

@@ -140,3 +140,17 @@ class TestSimhashPairs:
             for r in dedup.simhash_pairs(docs).collect()
         }
         assert got == want
+
+
+class TestDupClusters:
+    def test_identical_docs_form_one_cluster(self, spark):
+        t1 = " ".join(f"alpha{i}" for i in range(20))
+        t2 = " ".join(f"beta{i}" for i in range(25))
+        rows = [(1, t1), (2, t1), (5, t1), (3, t2), (4, " ".join(
+            f"gamma{i}" for i in range(30)))]
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(_docs(spark, rows)).collect()
+        }
+        assert out[1] == out[2] == out[5] == 1
+        assert out[3] == 3 and out[4] == 4
