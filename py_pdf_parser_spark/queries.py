@@ -150,16 +150,33 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+_TABLE_CACHE: Dict = {}
+
+
+def _driver_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Spread + persist + memoize a driver table per (application,
+    corpus): many queries scan the same small table; caching the spread
+    result keeps every query's first stage parallel without re-reading
+    and re-shuffling the single-file parquet each time."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _spread(spark.read.parquet(f"{sf_dir}/{name}.parquet")).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
 def _docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return _driver_table(spark, sf_dir, "documents")
 
 
 def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _driver_table(spark, sf_dir, "embeddings")
 
 
 def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return _driver_table(spark, sf_dir, "events")
 
 
 # ---------------------------------------------------------------------------
