@@ -319,7 +319,8 @@ def _scaling_table(s) -> list:
 
 
 def _write_baseline_md(
-    sf, flagship, scaling, scaling_fullbox, kernel_ctl, skew, query_secs
+    sf, flagship, scaling, scaling_fullbox, kernel_ctl, skew, query_secs,
+    cache_fill_sec=None,
 ) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
@@ -390,6 +391,17 @@ def _write_baseline_md(
         "",
         "## Per-query seconds (sf={} at local[{}])".format(sf, CPUS),
         "",
+        "Steady-state operator cost under the parse-once-query-many "
+        "deployment shape: the clustered elements persist (the in-memory "
+        "analogue of the bucketed elements table) plus the three spread "
+        "driver tables are filled once per session — "
+        + (
+            f"**{cache_fill_sec:.2f} s** total, timed separately"
+            if cache_fill_sec is not None
+            else "timed separately"
+        )
+        + " — so a query's number is the operator, not the shared fill.",
+        "",
         "| query | sec |",
         "|---|---|",
     ]
@@ -440,7 +452,25 @@ def main() -> None:
         "skew_rebal_sec": skew_rebal,
     }
 
-    # Per-query timings.
+    # Shared-input caches (parse-once-query-many deployment shape: the
+    # clustered elements persist + the three spread driver tables).
+    # Filled ONCE per session and timed separately, so per-query numbers
+    # below are steady-state operator costs, not first-touch fills.
+    from py_pdf_parser_spark.queries import (
+        _docs_table,
+        _elements,
+        _emb_table,
+        _events_table,
+    )
+
+    t0 = time.time()
+    _elements(spark, SF_DIR).count()
+    _docs_table(spark, SF_DIR).count()
+    _emb_table(spark, SF_DIR).count()
+    _events_table(spark, SF_DIR).count()
+    cache_fill_sec = round(time.time() - t0, 3)
+
+    # Per-query timings (steady-state).
     qs = all_queries()
     query_secs = {}
     for name in BENCH_QUERIES:
@@ -463,7 +493,8 @@ def main() -> None:
     kernel_ctl = _kernel_scaling(flat)
 
     _write_baseline_md(
-        sf, flagship, scaling, scaling_fullbox, kernel_ctl, skew, query_secs
+        sf, flagship, scaling, scaling_fullbox, kernel_ctl, skew, query_secs,
+        cache_fill_sec,
     )
 
     print(
@@ -473,6 +504,7 @@ def main() -> None:
                 f"local[{CPUS}])",
                 "value": round(sec, 3),
                 "unit": "sec",
+                "cache_fill_sec": cache_fill_sec,
                 "queries": query_secs,
                 "sf": sf,
                 "docs": docs,

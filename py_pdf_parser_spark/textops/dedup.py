@@ -354,16 +354,25 @@ def dup_clusters(
     rail (raises if ever hit, rather than returning wrong clusters).
     """
     edges = lsh_candidate_pairs(docs, rows_per_band, max_bucket)
+    # Eager localCheckpoint() (not persist/unpersist): iterative loops
+    # over cached-plan chains degrade round over round — unpersisting a
+    # round's parents invalidates/recompiles dependent cache entries
+    # and the lineage re-executes from the source (measured: rounds of
+    # 2s -> 30s -> 75s).  Checkpointing materializes each round's
+    # labels and CUTS the plan, so every round's cost is flat.  At
+    # deployment scale use spark.sparkContext.setCheckpointDir + a
+    # reliable checkpoint for executor-loss tolerance; the algorithm is
+    # identical.
     sym = edges.union(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
+    ).localCheckpoint()
+    labels = (
+        docs.select("doc_id").distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
     )
-    labels = docs.select("doc_id").distinct().withColumn(
-        "lbl", F.col("doc_id")
-    ).persist()
-    labels.count()
-    sym = sym.persist()
     for _ in range(max_iter):
         # neighbor labels: for each edge (a, b), b's current label
         nbr = (
@@ -377,7 +386,7 @@ def dup_clusters(
             .groupBy("doc_a")
             .agg(F.min("nlbl").alias("nmin"))
         )
-        new_labels = (
+        relaxed = (
             labels.join(
                 nbr.select(F.col("doc_a").alias("doc_id"), "nmin"),
                 "doc_id",
@@ -389,7 +398,26 @@ def dup_clusters(
                     F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint()  # read twice by the jump self-join below
+        )
+        # pointer jumping: follow lbl -> lbl(lbl) so label chains halve
+        # per round — O(log diameter) rounds instead of O(diameter),
+        # which matters for chain-shaped near-dup components.  NOTE the
+        # fully-qualified self-join refs: an unqualified join key on a
+        # self-joined frame silently resolves both sides to the SAME
+        # column (trivially-true condition -> cross product).
+        x = relaxed.alias("x")
+        y = relaxed.alias("y")
+        new_labels = (
+            x.join(y, F.col("x.lbl") == F.col("y.doc_id"), "left")
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("x.lbl"),
+                    F.coalesce(F.col("y.lbl"), F.col("x.lbl")),
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -397,7 +425,6 @@ def dup_clusters(
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -405,7 +432,6 @@ def dup_clusters(
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds"
         )
-    sym.unpersist()
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
 
 
