@@ -141,3 +141,73 @@ def test_ordering_presets_are_stable_permutations(boxes, preset):
         range(n), key=lambda i: tuple(float(k[i]) for k in keys)
     )
     assert doc.offset.tolist() == want
+
+
+class TestModeProperties:
+    """Per-char font mode == collections.Counter semantics on arbitrary
+    value streams (components.py:160-211)."""
+
+    @given(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=30
+        )
+    )
+    def test_mode_matches_counter(self, values):
+        from collections import Counter
+
+        from py_pdf_parser_spark.kernel.doc import _mode_first_seen
+
+        assert (
+            _mode_first_seen(values) == Counter(values).most_common(1)[0][0]
+        )
+
+    @given(
+        st.lists(
+            st.floats(
+                min_value=1.0, max_value=20.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1, max_size=20,
+        ),
+        st.integers(min_value=0, max_value=3),
+    )
+    def test_size_mode_rounds_the_winner(self, heights, precision):
+        from collections import Counter
+
+        from py_pdf_parser_spark.kernel.doc import _mode_first_seen
+
+        # round applied AFTER the mode, not before (components.py:208)
+        want = round(Counter(heights).most_common(1)[0][0], precision)
+        assert round(_mode_first_seen(heights), precision) == want
+
+
+class TestChunkCapProperty:
+    """Chunked bucket self-joins: every within-chunk pair is a
+    within-bucket pair, chunk sizes never exceed the cap, and
+    small buckets are untouched (dedup._chunk_capped contract)."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),  # bucket
+                st.integers(min_value=0, max_value=10_000),  # doc id
+            ),
+            min_size=1, max_size=60, unique=True,
+        ),
+        st.integers(min_value=1, max_value=8),
+    )
+    def test_chunk_sizes_bounded_and_deterministic(self, rows, cap):
+        # pure-python mirror of the rank-chunk rule
+        from collections import defaultdict
+
+        by_bucket = defaultdict(list)
+        for bucket, doc in rows:
+            by_bucket[bucket].append(doc)
+        for bucket, docs in by_bucket.items():
+            docs.sort()
+            chunks = defaultdict(list)
+            for rank, d in enumerate(docs):
+                chunks[rank // cap].append(d)
+            assert all(len(c) <= cap for c in chunks.values())
+            if len(docs) <= cap:
+                assert len(chunks) == 1  # under the cap: untouched
