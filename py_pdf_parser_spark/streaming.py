@@ -148,6 +148,74 @@ def stream_sessionize(
     )
 
 
+DEDUP_OUT_SCHEMA = "doc_id string, digest string"
+DEDUP_STATE_SCHEMA = "seen long"
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "doc_dedup",
+    max_files_per_trigger: int = 4,
+):
+    """Streaming exact dedup at ingest: the FIRST document seen per
+    content digest passes through; every later byte-identical copy —
+    within a micro-batch or any later one — is dropped.
+
+    ``applyInPandasWithState`` keyed by digest; state = a seen flag, so
+    state size is one long per distinct document ever ingested (the
+    minimal possible for exact streaming dedup; at larger horizons swap
+    the flag store for a TTL'd state via GroupStateTimeout).  Within the
+    first batch of a digest group, rows sort by doc_id so the survivor
+    is deterministic.  Append-mode memory sink under ``query_name``.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .schema import DOCUMENTS_SCHEMA
+
+    def keep_first(key, pdfs, state):
+        (digest,) = key
+        if not state.exists:
+            chunks = [p[["doc_id"]] for p in pdfs]
+            if chunks:
+                whole = pd.concat(chunks, ignore_index=True)
+                survivor = whole["doc_id"].sort_values().iloc[0]
+                state.update((1,))
+                yield pd.DataFrame(
+                    {"doc_id": [survivor], "digest": [digest]}
+                )
+        else:
+            for _ in pdfs:  # drain; all dups of an already-seen digest
+                pass
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .withColumn(
+            "digest",
+            F.md5(F.to_json(F.struct("spans"))),
+        )
+        .select("doc_id", "digest")
+    )
+    deduped = stream.groupBy("digest").applyInPandasWithState(
+        keep_first,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,

@@ -161,3 +161,45 @@ def test_stream_sessionize_multi_chunk_groups(spark, tmp_path):
 
     want = {tuple(r) for r in sessionize(spark.read.parquet(src)).collect()}
     assert got == want
+
+
+def test_stream_dedup_keeps_first_per_digest(spark, tmp_path):
+    """Streaming exact dedup: one survivor per content digest across
+    micro-batch boundaries (state carries seen digests)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = ensure_mixed_corpus(0.001)
+    in_dir = str(tmp_path / "dedup_in")
+    os.makedirs(in_dir)
+    parts = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    # two drops of the SAME file -> second batch is 100% duplicates
+    shutil.copy(os.path.join(src, parts[0]), os.path.join(in_dir, "a.parquet"))
+    shutil.copy(os.path.join(src, parts[0]), os.path.join(in_dir, "b.parquet"))
+
+    from py_pdf_parser_spark.streaming import stream_dedup
+
+    # one file per trigger: the second (all-duplicate) drop arrives in a
+    # LATER micro-batch, so survivors depend on carried state
+    query = stream_dedup(
+        spark, in_dir, query_name="dedup_test", max_files_per_trigger=1
+    )
+    try:
+        query.processAllAvailable()
+        out = spark.table("dedup_test")
+        n_out = out.count()
+        n_digests = out.select("digest").distinct().count()
+    finally:
+        query.stop()
+
+    batch = spark.read.parquet(in_dir).withColumn(
+        "digest", F.md5(F.to_json(F.struct("spans")))
+    )
+    want = batch.select("digest").distinct().count()
+    assert n_out == n_digests == want
+    # the doubled drop means input rows are ~2x the survivors
+    assert batch.count() > n_out
