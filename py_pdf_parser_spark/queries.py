@@ -1757,6 +1757,73 @@ def td_dup_clusters(spark, sf_dir):
     return dedup.dup_clusters(_docs_table(spark, sf_dir))
 
 
+_SURV_SHINGLES_DUCK = """
+WITH surv AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), corpus AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN surv s ON d.doc_id = s.doc_id
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || '_' || w[i+1] || '_' || w[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM t)"""
+
+
+def _corpus_prep_oracle() -> str:
+    body = (
+        _lsh_pairs_cte(_SURV_SHINGLES_DUCK)
+        + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM corpus
+  UNION
+  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a
+),
+clusters AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+),
+kept AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  JOIN clusters cl ON c.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
+),
+qual AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             / length(text) AS punct_ratio
+  FROM kept
+)
+SELECT doc_id, n_tokens, n_chars FROM qual
+WHERE n_tokens >= 5 AND punct_ratio <= 0.2"""
+    )
+    return body.replace("WITH surv AS", "WITH RECURSIVE surv AS", 1)
+
+
+@q("td_corpus_prep", _corpus_prep_oracle())
+def td_corpus_prep(spark, sf_dir):
+    """The end-to-end corpus-prep composition: exact dedup survivors ->
+    near-dup cluster representatives (LSH + connected components) ->
+    quality gate.  One query exercising the full dedup/quality stack."""
+    from .textops.prep import corpus_prep
+
+    return corpus_prep(_docs_table(spark, sf_dir))
+
+
 # Pathological-bucket stress: the base corpus plus 300 byte-identical
 # copies of its first document — every band funnels them into ONE
 # bucket, which the chunk cap must keep sub-quadratic.

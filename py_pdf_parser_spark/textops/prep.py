@@ -1,0 +1,47 @@
+"""End-to-end training-corpus preparation: the composition the
+individual textops exist for.
+
+    raw docs
+      -> exact dedup (one survivor per content digest)
+      -> near-dup clustering over the deduped corpus (LSH candidates ->
+         connected components) and keep one representative per cluster
+      -> quality gate (token floor, punctuation-ratio ceiling)
+
+Every stage is one of the already-oracle-verified operators; this
+module only wires them: two digest/cluster aggregations + the iterative
+CC rounds — no new shuffle shapes.  Output is the kept corpus with its
+budgeting stats (token counts ride along for downstream sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import analysis, dedup
+
+
+def corpus_prep(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """-> (doc_id, n_tokens, n_chars) of the kept documents."""
+    survivors = dedup.dedup_survivors(docs).select("doc_id")
+    deduped = docs.join(survivors, "doc_id", "leftsemi")
+
+    reps = (
+        dedup.dup_clusters(deduped)
+        .where(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    kept = deduped.join(reps, "doc_id", "leftsemi")
+
+    q = analysis.quality_score(kept)
+    return (
+        q.where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("punct_ratio") <= max_punct_ratio)
+        )
+        .select("doc_id", "n_tokens", "n_chars")
+    )
