@@ -348,17 +348,26 @@ class ElementFrame:
         if capped:
             n = F.max("_rn").over(Window.partitionBy("doc_id"))
             target = F.least(F.greatest(target, F.lit(1)), n)
-        anchor_ranks = ranked.withColumn("_target", target).join(
-            anchors.df.select("doc_id", "idx"), ["doc_id", "idx"], "leftsemi"
-        ).select("doc_id", "_target")
+        # anchor_ranks derives from ranked: rename its join keys so the
+        # self-join condition is built from distinct attributes (a bare
+        # ranked[..] == anchor_ranks[..] canonicalizes both sides to the
+        # same column and degrades to a trivially-true predicate).
+        anchor_ranks = (
+            ranked.withColumn("_target", target)
+            .join(
+                anchors.df.select("doc_id", "idx"),
+                ["doc_id", "idx"],
+                "leftsemi",
+            )
+            .select(F.col("doc_id").alias("_a_doc"), "_target")
+        )
         out = (
             ranked.join(
                 anchor_ranks,
-                (ranked["doc_id"] == anchor_ranks["doc_id"])
-                & (ranked["_rn"] == anchor_ranks["_target"]),
+                (F.col("doc_id") == F.col("_a_doc"))
+                & (F.col("_rn") == F.col("_target")),
             )
-            .drop(anchor_ranks["doc_id"])
-            .drop("_rn", "_target")
+            .drop("_a_doc", "_rn", "_target")
         )
         return self._with(out)
 
