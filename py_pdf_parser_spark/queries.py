@@ -1911,8 +1911,104 @@ def td_simhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# registry ordering
+# ---------------------------------------------------------------------------
+#
+# The driver's CORRECTNESS gate samples the FIRST 50 registry entries in
+# iteration order.  Rotate queries that are new, changed this round, or
+# never driver-verified to the FRONT, and long-stable pp_ filters (green
+# in both r1 and r2) to the tail, so every operator gets a driver row.
+
+_PRIORITY = [
+    # -- never driver-verified (r2 verdict "What's missing" #1) -----------
+    "td_lsh_candidate_pairs",
+    "td_lsh_pairs_capped",
+    "td_dup_clusters",
+    "td_corpus_prep",
+    "td_simhash_pairs",
+    "td_ngram_jaccard_pairs",
+    "td_exact_dups",
+    "td_dedup_survivors",
+    "td_minhash_signatures",
+    "td_simhash",
+    "td_fingerprint",
+    "td_rolling_fingerprint",
+    "td_token_count_bpe",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_ivf_multiprobe",
+    "emb_lsh_topk",
+    "emb_lsh_multiprobe",
+    "emb_dup_pairs",
+    "ev_windowed_counts",
+    "ev_sessionize",
+    "ev_distinct_users",
+    "ev_json_props",
+    # -- touched this round (ordering kernel / move_from / chunk caps) ---
+    "pp_ordering_presets",
+    "pp_ordering_custom",
+    "pp_move_capped",
+    "pp_move_forwards",
+    "pp_move_backwards",
+    # -- sentinels for the core surface ----------------------------------
+    "pp_parse_elements",
+    "pp_extract_spans",
+    "pp_memo_extract",
+    "pp_ordsum_table",
+    "pp_font_mode",
+    "pp_gridmerge_table",
+    "pp_table_dup_headers",
+    "pp_sections",
+    "pp_section_elements",
+    "pp_sections_multi",
+    "pp_tag_ignore_flow",
+    "pp_set_xor",
+    "pp_filter_udf",
+    "pp_font_mapping_regex",
+    "pp_text_raw",
+    "pp_getitem_slice",
+    "mm_media_features",
+    "mm_resize_plan",
+    "mm_frame_samples",
+    "td_token_count",
+]
+
+
+def _reorder_registry() -> None:
+    ordered: Dict[str, Tuple[QueryFn, str]] = {}
+    for name in _PRIORITY:
+        ordered[name] = REGISTRY[name]  # KeyError = stale priority list
+    for name, value in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = value
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
+
+# ---------------------------------------------------------------------------
 # public accessors (used by __spark_entry__)
 # ---------------------------------------------------------------------------
+
+
+def clear_caches() -> None:
+    """Unpersist and evict every memoized DataFrame.
+
+    The per-(applicationId, corpus) memo keeps persisted DataFrames for
+    the process lifetime; a long-lived driver that restarts sessions or
+    touches many sf_dirs would otherwise accumulate dead entries (and,
+    for the live session, executor storage).  Entries whose session has
+    already been stopped are evicted without touching Spark."""
+    for cache in (_ELEMENTS_CACHE, _TABLE_CACHE):
+        for key, df in list(cache.items()):
+            try:
+                if not df.sparkSession.sparkContext._jsc.sc().isStopped():
+                    df.unpersist()
+            except Exception:
+                pass  # session already gone — nothing to unpersist
+            del cache[key]
 
 
 def queries() -> Dict[str, QueryFn]:
