@@ -26,15 +26,23 @@ SESSION_GAP_MINUTES = 30
 
 
 def _epoch(col) -> "F.Column":
-    """Epoch seconds (with fractional micros) of a timestamp column.
+    """Epoch seconds (with fractional micros) of a naive timestamp,
+    treating the wall clock as UTC — independent of the session timezone.
 
     Parquet naive timestamps arrive as TIMESTAMP_NTZ in Spark 4, which
-    has no direct numeric cast; routing through timestamp_ltz under the
-    pinned UTC session timezone gives DuckDB-equivalent epoch math.
+    has no direct numeric cast, and an NTZ->LTZ cast would interpret
+    the wall clock in ``spark.sql.session.timeZone`` (a hidden session
+    dependence).  Pure field extraction avoids the zone entirely:
+    days-since-epoch * 86400 + time-of-day (date_part('SECOND') keeps
+    the fractional micros).  All JVM-side, whole-stage-codegen.
     """
-    return F.col(col).cast("timestamp_ltz").cast("double") if isinstance(
-        col, str
-    ) else col.cast("timestamp_ltz").cast("double")
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.unix_date(c.cast("date")).cast("double") * 86400.0
+        + F.hour(c).cast("double") * 3600.0
+        + F.minute(c).cast("double") * 60.0
+        + F.date_part(F.lit("SECOND"), c).cast("double")
+    )
 
 
 def windowed_counts(

@@ -176,11 +176,9 @@ def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Event-time epoch math routes TIMESTAMP_NTZ through timestamp_ltz
-    # (events._epoch), which reads the SESSION timezone — pin it to UTC
-    # so results match the DuckDB oracle's naive-as-UTC epoch() under
-    # any caller's session (the driver constructs its own).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Event-time epoch math (events._epoch) is pure NTZ field
+    # extraction — session-timezone-independent by construction, so no
+    # session conf needs to be (or is) touched here.
     return _driver_table(spark, sf_dir, "events")
 
 
