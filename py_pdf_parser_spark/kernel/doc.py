@@ -34,6 +34,7 @@ import re
 from typing import Callable, Dict, List, Optional, Sequence, Union
 
 import numpy as np
+import pandas as pd
 
 from ..errors import (
     ElementOutOfRangeError,
@@ -359,8 +360,13 @@ class Doc:
                 resolved |= hits
         # Exact lookup for unresolved rows; falsy mapped value falls back to
         # the raw font (``.get(font) or font``, components.py:237).
-        for i in np.nonzero(~resolved)[0]:
-            out[i] = mapping.get(raw[i]) or raw[i]
+        todo = ~resolved
+        if todo.any():
+            s = pd.Series(raw[todo], dtype=object)
+            m = s.map(mapping)
+            out[todo] = m.where(m.notna() & (m != ""), s).to_numpy(
+                dtype=object
+            )
         return out
 
     # -- page info ------------------------------------------------------------

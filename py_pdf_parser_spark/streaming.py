@@ -197,7 +197,28 @@ def stream_dedup(
         .parquet(input_dir)
         .withColumn(
             "digest",
-            F.md5(F.to_json(F.struct("spans"))),
+            # Digest over RAW span fields with explicit separators —
+            # NOT to_json, whose canonicalization is Spark-version-
+            # dependent (digests must stay stable across engine
+            # upgrades when checkpointed state outlives a deploy).
+            # \x1f joins fields, \x1e joins spans, \x00 marks null.
+            F.md5(
+                F.concat_ws(
+                    "\x1e",
+                    F.transform(
+                        "spans",
+                        lambda s: F.concat_ws(
+                            "\x1f",
+                            F.coalesce(s["kind"], F.lit("\x00")),
+                            F.coalesce(s["text"], F.lit("\x00")),
+                            F.coalesce(s["media_ref"], F.lit("\x00")),
+                            F.coalesce(
+                                s["offset"].cast("string"), F.lit("\x00")
+                            ),
+                        ),
+                    ),
+                )
+            ),
         )
         .select("doc_id", "digest")
     )
