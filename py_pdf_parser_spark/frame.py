@@ -360,6 +360,12 @@ class ElementFrame:
                 "leftsemi",
             )
             .select(F.col("doc_id").alias("_a_doc"), "_target")
+            # Two out-of-range anchors in one doc clamp to the SAME
+            # boundary rank under capped=True — dedup targets so the
+            # output stays key-unique on (doc_id, idx), the invariant
+            # set algebra and anchor joins rely on.  Distinct on two
+            # small columns, before the fat join.
+            .distinct()
         )
         out = (
             ranked.join(

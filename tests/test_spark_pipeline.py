@@ -181,6 +181,23 @@ class TestElementFrameDifferential:
         assert lasts == {d: doc.n - 1 for d, doc in docs.items()}
 
 
+class TestMoveFrom:
+    def test_capped_colliding_anchors_stay_key_unique(self, spark, ora_docs):
+        """Two out-of-range anchors in one doc both clamp to the last
+        element under capped=True — the output must carry that element
+        ONCE (key-unique (doc_id, idx), the frame invariant)."""
+        ef = ElementFrame.from_documents(
+            ora_docs.where("doc_id = 'ora-000000'")
+        )
+        last_idx = ef.last_per_doc().df.select("idx").collect()[0]["idx"]
+        # the last two elements: both + large count overshoot the end
+        anchors = ElementFrame(ef.df.where(F.col("idx") >= last_idx - 1))
+        out = ef.move_from(anchors, count=10, capped=True).df
+        rows = out.select("doc_id", "idx").collect()
+        assert len(rows) == 1
+        assert rows[0]["idx"] == last_idx
+
+
 class TestSectionsFrame:
     def test_counter_and_include_last_element(self, spark, ora_docs):
         from py_pdf_parser_spark.frame import sections_frame
