@@ -1700,7 +1700,8 @@ wide AS (SELECT doc_id, {mins} FROM sh WHERE len(shingles) > 0),
 banded AS ({bands}),
 capped AS (
   SELECT doc_id, band, bucket,
-         (row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) - 1)
+         (row_number() OVER (PARTITION BY band, bucket
+              ORDER BY md5(band::VARCHAR || ':' || doc_id), doc_id) - 1)
              // {max_bucket} AS chunk
   FROM banded)"""
 
@@ -1891,7 +1892,8 @@ def _simhash_pairs_oracle(max_hamming: int = 3, max_bucket: int = 256) -> str:
 banded AS ({bands}),
 capped AS (
   SELECT doc_id, simhash, band, bval,
-         (row_number() OVER (PARTITION BY band, bval ORDER BY doc_id) - 1)
+         (row_number() OVER (PARTITION BY band, bval
+              ORDER BY md5(band::VARCHAR || ':' || doc_id), doc_id) - 1)
              // {max_bucket} AS chunk
   FROM banded)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

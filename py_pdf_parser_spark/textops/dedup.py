@@ -166,7 +166,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _chunk_capped(banded: DataFrame, keys: List[str], order: str,
+def _chunk_capped(banded: DataFrame, keys: List[str], salt: str,
                   max_bucket: int) -> DataFrame:
     """Split oversized buckets into deterministic chunks of ``max_bucket``.
 
@@ -175,14 +175,23 @@ def _chunk_capped(banded: DataFrame, keys: List[str], order: str,
     rank caps every join group at ``max_bucket`` members: pairs form only
     within a chunk, so the worst bucket costs ``(n/cap)·C(cap,2)`` instead
     of ``C(n,2)`` — linear in bucket size.  Buckets at or under the cap are
-    untouched.  Recall loss is confined to cross-chunk pairs of oversized
-    buckets — at dedup thresholds those are near-identical docs that exact
-    dedup / any surviving same-chunk pair already represents.  Rank order
-    is the stable id sort, so chunking (and the candidate set) is
-    deterministic and SQL-reproducible.  Use ``bucket_cap_stats`` to audit
-    what the cap actually split.
+    untouched.  Use ``bucket_cap_stats`` to audit what the cap split.
+
+    Rank order is SALTED PER BAND: docs sort by md5(<salt>:doc_id) (with a
+    doc_id tiebreak), ``salt`` being the band column.  Under a plain
+    doc_id order, a cluster that co-buckets in EVERY band (identical
+    docs) would get identical chunk boundaries in all bands — cross-chunk
+    pairs dropped in every band, so connected components permanently
+    splits one semantic cluster into ceil(n/cap) pieces.  Band-keyed
+    salting de-correlates chunk boundaries across bands: a cross-chunk
+    pair in one band lands within-chunk in another, and the CC pass
+    re-merges the cluster.  Still fully deterministic and
+    SQL-reproducible (md5 string order on both engines).
     """
-    w = Window.partitionBy(*keys).orderBy(order)
+    order_col = F.md5(
+        F.concat_ws(":", F.col(salt).cast("string"), F.col("doc_id"))
+    )
+    w = Window.partitionBy(*keys).orderBy(order_col, F.col("doc_id"))
     return banded.withColumn(
         "chunk",
         ((F.row_number().over(w) - 1) / F.lit(max_bucket)).cast("long"),
@@ -250,7 +259,7 @@ def lsh_candidate_pairs(
         wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
-    capped = _chunk_capped(banded, ["band", "bucket"], "doc_id", max_bucket)
+    capped = _chunk_capped(banded, ["band", "bucket"], "band", max_bucket)
     a = capped.alias("a")
     b = capped.alias("b")
     return (
@@ -495,7 +504,7 @@ def simhash_pairs(
         "doc_id", "simhash",
         F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
     )
-    capped = _chunk_capped(banded, ["band", "bval"], "doc_id", max_bucket)
+    capped = _chunk_capped(banded, ["band", "bval"], "band", max_bucket)
     a = capped.alias("a")
     b = capped.alias("b")
     return (

@@ -60,13 +60,32 @@ class TestJaccardBlockBoundary:
 
 class TestBucketCaps:
     def test_lsh_pairs_capped_per_chunk(self, spark):
-        """100 identical docs = one bucket per band.  cap=10 -> pairs
-        only within rank-chunks of 10: 10 * C(10,2) = 450, not
-        C(100,2) = 4950."""
+        """100 identical docs = one bucket per band.  cap=10 -> each
+        band forms pairs only within its chunks of 10, so the join COST
+        per band is 10 * C(10,2) = 450 pairs, not C(100,2) = 4950.
+        Chunk order is salted per band, so the distinct union across
+        the 16 bands covers MORE than one band's 450 (extra recall at
+        the same per-band cost) while staying well under quadratic."""
         t = " ".join(f"tok{i}" for i in range(20))
         docs = _docs(spark, [(i, t) for i in range(100)])
         capped = dedup.lsh_candidate_pairs(docs, max_bucket=10)
-        assert capped.count() == 450
+        n = capped.count()
+        assert 450 < n < 4950
+        # per-band bound: no band contributes more than 450 pairs
+        wide = dedup.minhash_wide(docs)
+        banded = wide.select(
+            "doc_id", F.lit(0).alias("band"),
+            F.md5(F.concat_ws(",", F.col("m0").cast("string"),
+                              F.col("m1").cast("string"))).alias("bucket"),
+        )
+        one_band = dedup._chunk_capped(banded, ["band", "bucket"], "band", 10)
+        a, b = one_band.alias("a"), one_band.alias("b")
+        per_band = (
+            a.join(b, ["band", "bucket", "chunk"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .count()
+        )
+        assert per_band == 450
         uncapped = dedup.lsh_candidate_pairs(docs, max_bucket=1000)
         assert uncapped.count() == 4950
 
@@ -154,3 +173,20 @@ class TestDupClusters:
         }
         assert out[1] == out[2] == out[5] == 1
         assert out[3] == 3 and out[4] == 4
+
+    def test_oversized_cluster_remerges_across_salted_chunks(self, spark):
+        """40 identical docs co-bucket in EVERY band; with cap 8 each
+        band's bucket splits into 5 chunks.  Under unsalted (doc_id)
+        chunk order the boundaries align across bands, cross-chunk
+        pairs are dropped everywhere, and CC reports 5 clusters.  The
+        band-salted chunk order de-correlates boundaries, so connected
+        components re-merges the cluster into ONE."""
+        t = " ".join(f"tok{i}" for i in range(30))
+        rows = [(i, t) for i in range(1, 41)]
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(
+                _docs(spark, rows), max_bucket=8
+            ).collect()
+        }
+        assert set(out.values()) == {1}
