@@ -14,7 +14,7 @@ bit-for-bit: H(s) = int(first 8 hex chars of md5(s)) in [0, 2^32).
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -340,7 +340,8 @@ def ngram_jaccard_pairs(
 
 def dup_clusters(
     docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256,
-    max_iter: int = 25,
+    max_iter: int = 25, checkpoint_dir: Optional[str] = None,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the LSH
     candidate-pair graph, cluster_id = min doc_id in the component.
@@ -350,39 +351,64 @@ def dup_clusters(
     B~C must land A, B, C in one cluster even if A~C was never a
     candidate pair.
 
+    Delegates to ``connected_components`` (min-label propagation with
+    pointer jumping) over the LSH candidate graph.
+    """
+    edges = lsh_candidate_pairs(docs, rows_per_band, max_bucket)
+    return connected_components(
+        docs.select("doc_id").distinct(), edges,
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir, stats=stats,
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25,
+    checkpoint_dir: Optional[str] = None, stats: Optional[dict] = None,
+) -> DataFrame:
+    """Connected components: (doc_id, cluster_id=min doc_id reachable).
+
+    ``nodes``: one doc_id per row; ``edges``: (doc_a, doc_b) pairs.
+
     Iterative min-label propagation (the standard large-graph CC under
-    a hash-partitioned join engine, cf. GraphX/GraphFrames):
-    each round every node takes the min label over itself and its
-    neighbors; converges in O(component diameter) rounds.  The loop is
+    a hash-partitioned join engine, cf. GraphX/GraphFrames): each
+    round every node takes the min label over itself and its
+    neighbors, then pointer-jumps (lbl -> lbl(lbl)), so label chains
+    halve per round — O(log diameter) rounds.  The loop is
     driver-side but each round is one distributed join + aggregate on
-    doc_id keys; labels persist per round and the loop EXITS on a
-    converged count (no Spark iteration is wasted re-deriving prior
-    rounds — lineage is truncated by re-persisting).  Near-dup
+    doc_id keys; the loop EXITS on a converged count.  Near-dup
     components are overwhelmingly cliques or tight clusters (diameter
     1-3), so rounds stay in single digits; ``max_iter`` is a safety
     rail (raises if ever hit, rather than returning wrong clusters).
+    ``stats`` (optional dict) records the round count under "rounds".
     """
-    edges = lsh_candidate_pairs(docs, rows_per_band, max_bucket)
-    # Eager localCheckpoint() (not persist/unpersist): iterative loops
-    # over cached-plan chains degrade round over round — unpersisting a
+    # Eager checkpoints (not persist/unpersist): iterative loops over
+    # cached-plan chains degrade round over round — unpersisting a
     # round's parents invalidates/recompiles dependent cache entries
     # and the lineage re-executes from the source (measured: rounds of
     # 2s -> 30s -> 75s).  Checkpointing materializes each round's
-    # labels and CUTS the plan, so every round's cost is flat.  At
-    # deployment scale use spark.sparkContext.setCheckpointDir + a
-    # reliable checkpoint for executor-loss tolerance; the algorithm is
-    # identical.
-    sym = edges.union(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # labels and CUTS the plan, so every round's cost is flat.
+    #
+    # ``checkpoint_dir=None`` (default) uses localCheckpoint() —
+    # fastest, but round state lives on executors, so an executor loss
+    # kills the job.  At deployment scale pass a (DFS) directory:
+    # rounds then write RELIABLE checkpoints that survive executor
+    # loss.  The algorithm is identical either way.
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint()  # noqa: E731 — eager
+    else:
+        _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+    sym = _ckpt(
+        edges.select("doc_a", "doc_b").union(
+            edges.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).localCheckpoint()
-    labels = (
-        docs.select("doc_id").distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
     )
+    labels = _ckpt(nodes.withColumn("lbl", F.col("doc_id")))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # neighbor labels: for each edge (a, b), b's current label
         nbr = (
             sym.join(
@@ -407,7 +433,7 @@ def dup_clusters(
                     F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()  # read twice by the jump self-join below
+            .transform(_ckpt)  # read twice by the jump self-join below
         )
         # pointer jumping: follow lbl -> lbl(lbl) so label chains halve
         # per round — O(log diameter) rounds instead of O(diameter),
@@ -426,7 +452,7 @@ def dup_clusters(
                     F.coalesce(F.col("y.lbl"), F.col("x.lbl")),
                 ).alias("lbl"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         changed = (
             new_labels.alias("n")
@@ -439,8 +465,10 @@ def dup_clusters(
             break
     else:
         raise RuntimeError(
-            f"dup_clusters did not converge in {max_iter} rounds"
+            f"connected_components did not converge in {max_iter} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
 
 

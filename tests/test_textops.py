@@ -174,6 +174,31 @@ class TestDupClusters:
         assert out[1] == out[2] == out[5] == 1
         assert out[3] == 3 and out[4] == 4
 
+    def test_chain_component_converges_in_log_rounds(self, spark, tmp_path):
+        """A 33-node path graph (diameter 32) must resolve to one
+        cluster in O(log d) rounds — pointer jumping halves label
+        chains each round, so ~log2(32)+2 rounds, nowhere near the
+        25-round rail.  Also exercises the RELIABLE checkpoint path
+        (checkpoint_dir set): round state goes to disk, not executor
+        memory."""
+        import math
+
+        n = 33
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, n + 1)], "doc_id long"
+        )
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+        )
+        stats = {}
+        out = dedup.connected_components(
+            nodes, edges, checkpoint_dir=str(tmp_path / "ckpt"),
+            stats=stats,
+        )
+        labels = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+        assert set(labels.values()) == {1}
+        assert stats["rounds"] <= math.ceil(math.log2(n - 1)) + 2
+
     def test_oversized_cluster_remerges_across_salted_chunks(self, spark):
         """40 identical docs co-bucket in EVERY band; with cap 8 each
         band's bucket splits into 5 chunks.  Under unsalted (doc_id)
