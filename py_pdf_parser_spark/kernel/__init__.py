@@ -5,7 +5,7 @@ Spark-free makes them unit-testable in-process and reusable under
 Structured Streaming ``foreachBatch``.
 """
 
-from .doc import BBox, Doc, Elems, ORDER_PRESETS
+from .doc import BBox, Doc, Elems, ORDER_PRESETS, PageOrdering
 from .parse import doc_from_spans
 from .recipes import default_recipe, memo_recipe, ordsum_recipe, recipe_for
 
@@ -14,6 +14,7 @@ __all__ = [
     "Doc",
     "Elems",
     "ORDER_PRESETS",
+    "PageOrdering",
     "doc_from_spans",
     "default_recipe",
     "memo_recipe",

@@ -54,7 +54,44 @@ ORDER_PRESETS = {
     "T2B_R2L": lambda x0, y0: (-x0, -y0),
 }
 
-OrderingSpec = Union[str, Callable[[np.ndarray, np.ndarray], tuple]]
+class _OrderView:
+    """Lightweight per-element view handed to ``PageOrdering`` callables
+    (the stand-in for the pdfminer objects the reference passes,
+    components.py:357-361): geometry attributes + the span text."""
+
+    __slots__ = ("x0", "x1", "y0", "y1", "text", "_i")
+
+    def __init__(self, x0, x1, y0, y1, text, i):
+        self.x0, self.x1, self.y0, self.y1 = x0, x1, y0, y1
+        self.text = text
+        self._i = i
+
+    def get_text(self):
+        return self.text
+
+
+class PageOrdering:
+    """Arbitrary per-page element ordering — the reference's callable
+    form (components.py:409-413): a ``List -> List`` function called
+    once per page with that page's elements (input order) and returning
+    them in the desired order.  Unlike a geometric key function this
+    expresses e.g. ``reversed`` or data-dependent column layouts.
+    Elements the callable omits are dropped (reference semantics: the
+    document is built from exactly what the callable returns).
+
+    Use: ``Doc(..., element_ordering=PageOrdering(fn))`` or
+    ``config={"element_ordering": PageOrdering(fn)}`` at parse level.
+    """
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn: Callable[[list], list]):
+        self.fn = fn
+
+
+OrderingSpec = Union[
+    str, Callable[[np.ndarray, np.ndarray], tuple], PageOrdering
+]
 
 
 class BBox:
@@ -148,7 +185,13 @@ class Doc:
             else np.asarray(offset, dtype=np.int64)
         )
 
-        order = self._order_indexes(page_arr, x0a, y0a, offset_arr, element_ordering)
+        if not isinstance(text, np.ndarray):
+            text = np.asarray(list(text), dtype=object)
+
+        order = self._order_indexes(
+            page_arr, x0a, y0a, offset_arr, element_ordering,
+            x1=x1a, y1=y1a, text=text,
+        )
 
         self.page = page_arr[order]
         self.x0 = x0a[order]
@@ -156,17 +199,19 @@ class Doc:
         self.y0 = y0a[order]
         self.y1 = y1a[order]
         self.offset = offset_arr[order]
-        if not isinstance(text, np.ndarray):
-            text = np.asarray(list(text), dtype=object)
         self.text_raw = text[order]
+        # a PageOrdering callable may DROP elements (reference: the doc
+        # is built from exactly what the callable returns) — size the
+        # default fills by the ordered length, not the input length.
+        n_out = len(order)
         if kind is None:
-            self.kind = np.full(n, "text", dtype=object)
+            self.kind = np.full(n_out, "text", dtype=object)
         else:
             if not isinstance(kind, np.ndarray):
                 kind = np.asarray(list(kind), dtype=object)
             self.kind = kind[order]
         if media_ref is None:
-            self.media_ref = np.full(n, None, dtype=object)
+            self.media_ref = np.full(n_out, None, dtype=object)
         else:
             if not isinstance(media_ref, np.ndarray):
                 media_ref = np.asarray(list(media_ref), dtype=object)
@@ -196,8 +241,8 @@ class Doc:
         self._sectioning = None
         self._page_numbers = None
 
-        self.n = n
-        self.ignored = np.zeros(n, dtype=bool)
+        self.n = n_out  # == n unless a PageOrdering callable dropped rows
+        self.ignored = np.zeros(n_out, dtype=bool)
 
         # Page registry: width/height per page + NoElementsOnPageError for
         # declared-but-empty pages (components.py:426-429).  The scan is
@@ -315,9 +360,34 @@ class Doc:
     # -- construction helpers -------------------------------------------------
 
     @staticmethod
-    def _order_indexes(page, x0, y0, offset, ordering: OrderingSpec) -> np.ndarray:
+    def _order_indexes(
+        page, x0, y0, offset, ordering: OrderingSpec,
+        x1=None, y1=None, text=None,
+    ) -> np.ndarray:
         """Global element order: pages ascending, then per-page preset key,
-        ties broken by input offset (stable, matches Python sorted)."""
+        ties broken by input offset (stable, matches Python sorted).
+
+        A ``PageOrdering`` spec instead runs an arbitrary per-page
+        permutation callable (components.py:409-413): pages ascending,
+        each page's elements handed over in input-offset order."""
+        if isinstance(ordering, PageOrdering):
+            in_order = np.lexsort((offset, page))
+            pages_sorted = page[in_order]
+            out: list = []
+            start = 0
+            m = len(in_order)
+            for end in range(1, m + 1):
+                if end == m or pages_sorted[end] != pages_sorted[start]:
+                    views = [
+                        _OrderView(
+                            x0[j], x1[j], y0[j], y1[j],
+                            None if text is None else text[j], int(j),
+                        )
+                        for j in in_order[start:end]
+                    ]
+                    out.extend(v._i for v in ordering.fn(views))
+                    start = end
+            return np.asarray(out, dtype=np.int64)
         if callable(ordering):
             keys = ordering(x0, y0)
         else:

@@ -250,6 +250,33 @@ def pp_ordering_custom(spark, sf_dir):
     return els.where(F.col("kind") == "text").select("doc_id", "idx", "text")
 
 
+def _two_column_page_ordering(els):
+    """Arbitrary List->List per-page ordering (the reference's callable
+    form, components.py:409-413; golden case
+    test_element_ordering.py:83-99): column split at x=40, each column
+    top-down.  Python sorted is stable, so ties keep input-offset order
+    — mirrored by the trailing ``o`` in the oracle's ORDER BY."""
+    return sorted(els, key=lambda e: (e.x0 > 40, -e.y0, e.x0))
+
+
+@q(
+    "pp_ordering_callable",
+    _ora_cte(order_sql="page_number, (x0 > 40), y0 DESC, x0, o")
+    + """
+SELECT doc_id, idx, text FROM elements WHERE kind = 'text'""",
+)
+def pp_ordering_callable(spark, sf_dir):
+    from .kernel.doc import PageOrdering
+
+    els = parse_elements(
+        _ora_docs(spark, sf_dir),
+        config={
+            "element_ordering": PageOrdering(_two_column_page_ordering)
+        },
+    )
+    return els.where(F.col("kind") == "text").select("doc_id", "idx", "text")
+
+
 @q(
     "pp_font_mapping_regex",
     _ora_cte()
@@ -1947,6 +1974,7 @@ _PRIORITY = [
     # -- touched this round (ordering kernel / move_from / chunk caps) ---
     "pp_ordering_presets",
     "pp_ordering_custom",
+    "pp_ordering_callable",
     "pp_move_capped",
     "pp_move_forwards",
     "pp_move_backwards",
@@ -1970,7 +1998,6 @@ _PRIORITY = [
     "mm_media_features",
     "mm_resize_plan",
     "mm_frame_samples",
-    "td_token_count",
 ]
 
 

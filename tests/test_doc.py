@@ -59,6 +59,100 @@ class TestOrdering:
         doc = make_doc(elems, element_ordering=ordering)
         assert texts(doc) == ["L1", "L2", "R1", "R2"]
 
+
+class TestPageOrderingCallable:
+    """Arbitrary List->List per-page ordering (components.py:409-413),
+    golden cases ported from the reference's
+    tests/test_doc_examples/test_element_ordering.py:14-99 (grid.pdf /
+    columns.pdf fixtures re-expressed as synthetic boxes).
+    GRID: one=TopLeft two=TopRight three=BottomLeft four=BottomRight."""
+
+    def test_custom_sorted_by_x0_y0(self):
+        from py_pdf_parser_spark.kernel.doc import PageOrdering
+
+        # reference: ordering_function = sorted(key=(x0, y0)) ->
+        # [Bottom Left, Top Left, Bottom Right, Top Right]
+        doc = make_doc(
+            GRID,
+            element_ordering=PageOrdering(
+                lambda els: sorted(els, key=lambda e: (e.x0, e.y0))
+            ),
+        )
+        assert texts(doc) == ["three", "one", "four", "two"]
+
+    def test_reversed_is_expressible(self):
+        from py_pdf_parser_spark.kernel.doc import PageOrdering
+
+        # a pure permutation no geometric KEY function can express
+        doc = make_doc(
+            GRID,
+            element_ordering=PageOrdering(lambda els: list(reversed(els))),
+        )
+        assert texts(doc) == ["four", "three", "two", "one"]
+
+    def test_two_column_layout(self):
+        from py_pdf_parser_spark.kernel.doc import PageOrdering
+
+        # reference columns.pdf: sorted(key=(x0 > 300, -y0, x0)) — all
+        # of column 1 (top-down) before column 2; split here at x=50
+        elems = [
+            make_element(box=(0, 10, 90, 95), text="C1 Title"),
+            make_element(box=(60, 70, 90, 95), text="C2 Title"),
+            make_element(box=(0, 10, 80, 85), text="C1 text"),
+            make_element(box=(60, 70, 80, 85), text="C2 text"),
+            make_element(box=(0, 4, 70, 75), text="C1 left"),
+            make_element(box=(6, 10, 70, 75), text="C1 right"),
+            make_element(box=(60, 64, 70, 75), text="C2 left"),
+            make_element(box=(66, 70, 70, 75), text="C2 right"),
+        ]
+        doc = make_doc(
+            elems,
+            element_ordering=PageOrdering(
+                lambda els: sorted(
+                    els, key=lambda e: (e.x0 > 50, -e.y0, e.x0)
+                )
+            ),
+        )
+        assert texts(doc) == [
+            "C1 Title", "C1 text", "C1 left", "C1 right",
+            "C2 Title", "C2 text", "C2 left", "C2 right",
+        ]
+
+    def test_pages_ascend_and_callable_runs_per_page(self):
+        from py_pdf_parser_spark.kernel.doc import PageOrdering
+
+        seen_pages = []
+
+        def fn(els):
+            seen_pages.append(len(els))
+            return list(reversed(els))
+
+        doc = make_doc(
+            {
+                1: [
+                    make_element(box=(0, 5, 6, 10), text="p1a"),
+                    make_element(box=(6, 10, 6, 10), text="p1b"),
+                ],
+                2: [make_element(box=(0, 5, 6, 10), text="p2a")],
+            },
+            element_ordering=PageOrdering(fn),
+        )
+        assert texts(doc) == ["p1b", "p1a", "p2a"]
+        assert seen_pages == [2, 1]
+
+    def test_callable_may_drop_elements(self):
+        from py_pdf_parser_spark.kernel.doc import PageOrdering
+
+        # reference builds the doc from exactly what the callable
+        # returns — dropped elements never become document elements
+        doc = make_doc(
+            GRID,
+            element_ordering=PageOrdering(
+                lambda els: [e for e in els if e.get_text() != "two"]
+            ),
+        )
+        assert texts(doc) == ["one", "three", "four"]
+
     def test_multi_page_order_and_stable_ties(self):
         # Identical boxes keep input (offset) order; pages ascending first.
         doc = make_doc(
