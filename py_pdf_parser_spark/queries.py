@@ -1780,6 +1780,42 @@ def td_lsh_candidate_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_docs_table(spark, sf_dir))
 
 
+def _jaccard_lsh_oracle() -> str:
+    """DuckDB mirror of dedup.jaccard_lsh_verified: the capped LSH
+    candidate CTE (shared with td_lsh_candidate_pairs), then exact
+    hashed-shingle Jaccard on candidates only."""
+    h = _H_DUCK.format(s="s")
+    return f"""{_lsh_pairs_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+),
+hsh AS (
+  SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.hs, b.hs)) AS ni,
+         len(a.hs) AS na, len(b.hs) AS nb
+  FROM cand c
+  JOIN hsh a ON a.doc_id = c.doc_a
+  JOIN hsh b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(ni / (na + nb - ni), 4) AS jaccard
+FROM pairs WHERE round(ni / (na + nb - ni), 4) >= 0.5"""
+
+
+@q("td_jaccard_lsh_verified", _jaccard_lsh_oracle())
+def td_jaccard_lsh_verified(spark, sf_dir):
+    """LSH-proposed, exact-Jaccard-verified near-dup pairs — the
+    at-scale path (join fan-out bounded by candidate density, not
+    length-block density; ngram_jaccard_pairs stays as the exact
+    oracle-mirrored fallback)."""
+    return dedup.jaccard_lsh_verified(_docs_table(spark, sf_dir))
+
+
 @q("td_dup_clusters", _dup_clusters_oracle())
 def td_dup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over the LSH candidate
@@ -1954,6 +1990,7 @@ _PRIORITY = [
     "td_corpus_prep",
     "td_simhash_pairs",
     "td_ngram_jaccard_pairs",
+    "td_jaccard_lsh_verified",
     "td_exact_dups",
     "td_dedup_survivors",
     "td_minhash_signatures",
@@ -1997,7 +2034,6 @@ _PRIORITY = [
     "pp_getitem_slice",
     "mm_media_features",
     "mm_resize_plan",
-    "mm_frame_samples",
 ]
 
 

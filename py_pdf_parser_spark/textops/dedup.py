@@ -338,6 +338,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_lsh_verified(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    rows_per_band: int = 2, max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup pairs: LSH banding proposes candidates, exact n-gram
+    Jaccard verifies them — the at-scale default for corpus-wide
+    near-dup pair mining.
+
+    ``ngram_jaccard_pairs`` is exact but blocks on LENGTH, so its
+    (blk, h) self-join output grows with block density: at web scale a
+    16-char length block holds millions of docs and every shared
+    frequent shingle becomes join output.  Here the join fan-out is
+    bounded by the LSH candidate set (true-near-dup density,
+    chunk-capped), independent of how many docs share a length.
+    Recall is the banding's: with 16 bands x 2 rows,
+    P(candidate | J=t) = 1-(1-t^2)^16 — 0.99 at t=0.5, ~1.0 above 0.7;
+    measured 100% agreement with the exact operator at sf0.1 (256/256
+    pairs, BENCH/exp_jaccard_r3.py).  Shuffles: small candidate keys +
+    two hash joins against the shingle rows on (doc, h) — never
+    corpus-quadratic.
+    """
+    cands = lsh_candidate_pairs(docs, rows_per_band, max_bucket)
+    rows = shingle_rows(docs, n, distinct=True)
+    counts = rows.groupBy("doc_id").agg(F.count("*").alias("nd"))
+    inter = (
+        cands.join(
+            rows.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a"
+        )
+        .join(
+            rows.select(F.col("doc_id").alias("doc_b"), "h"),
+            ["doc_b", "h"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(
+            counts.select(
+                F.col("doc_id").alias("doc_a"), F.col("nd").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            counts.select(
+                F.col("doc_id").alias("doc_b"), F.col("nd").alias("nb")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def dup_clusters(
     docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256,
     max_iter: int = 25, checkpoint_dir: Optional[str] = None,
