@@ -501,6 +501,7 @@ def main() -> None:
         _elements,
         _emb_table,
         _events_table,
+        _shingle_rows_table,
     )
 
     t0 = time.time()
@@ -508,6 +509,7 @@ def main() -> None:
     _docs_table(spark, SF_DIR).count()
     _emb_table(spark, SF_DIR).count()
     _events_table(spark, SF_DIR).count()
+    _shingle_rows_table(spark, SF_DIR).count()
     cache_fill_sec = round(time.time() - t0, 3)
 
     # Per-query timings (steady-state): one warm round, then 3 measured

@@ -175,6 +175,28 @@ def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _driver_table(spark, sf_dir, "embeddings")
 
 
+def _shingle_rows_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-gram shingle rows of the documents table, persisted
+    per (application, corpus) — the in-memory analogue of a
+    materialized bucketed shingle table in a parse-once-query-many
+    deployment.  Every MinHash/LSH/Jaccard operator consumes these same
+    rows; without sharing, each composed query re-runs the
+    tokenize+window+md5 pipeline up to 4x (signatures, two verify-join
+    sides, set-size counts).  The rows stay hash-partitioned by doc_id
+    (the shingle window's partitioning, which the distinct aggregate
+    and the doc-level min-aggregates both satisfy), so consumers add no
+    exchange on the doc side."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__shingle_rows__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = dedup.shingle_rows(
+        _docs_table(spark, sf_dir), 3, distinct=True
+    ).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
 def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Event-time epoch math (events._epoch) is pure NTZ field
     # extraction — session-timezone-independent by construction, so no
@@ -1359,7 +1381,10 @@ def _minhash_oracle() -> str:
 
 @q("td_minhash_signatures", _minhash_oracle())
 def td_minhash_signatures(spark, sf_dir):
-    sig = dedup.minhash_signatures(_docs_table(spark, sf_dir))
+    sig = dedup.minhash_signatures(
+        _docs_table(spark, sf_dir),
+        rows=_shingle_rows_table(spark, sf_dir),
+    )
     return sig.select("doc_id", F.col("k").cast("long").alias("k"), "minhash")
 
 
@@ -1777,7 +1802,10 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src"""
 
 @q("td_lsh_candidate_pairs", _lsh_pairs_oracle())
 def td_lsh_candidate_pairs(spark, sf_dir):
-    return dedup.lsh_candidate_pairs(_docs_table(spark, sf_dir))
+    return dedup.lsh_candidate_pairs(
+        _docs_table(spark, sf_dir),
+        rows=_shingle_rows_table(spark, sf_dir),
+    )
 
 
 def _jaccard_lsh_oracle() -> str:
@@ -1813,7 +1841,10 @@ def td_jaccard_lsh_verified(spark, sf_dir):
     at-scale path (join fan-out bounded by candidate density, not
     length-block density; ngram_jaccard_pairs stays as the exact
     oracle-mirrored fallback)."""
-    return dedup.jaccard_lsh_verified(_docs_table(spark, sf_dir))
+    return dedup.jaccard_lsh_verified(
+        _docs_table(spark, sf_dir),
+        rows=_shingle_rows_table(spark, sf_dir),
+    )
 
 
 @q("td_dup_clusters", _dup_clusters_oracle())
@@ -1821,7 +1852,10 @@ def td_dup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over the LSH candidate
     graph by iterative min-label propagation (A~B, B~C => one cluster
     even when A~C was never a candidate pair)."""
-    return dedup.dup_clusters(_docs_table(spark, sf_dir))
+    return dedup.dup_clusters(
+        _docs_table(spark, sf_dir),
+        rows=_shingle_rows_table(spark, sf_dir),
+    )
 
 
 _SURV_SHINGLES_DUCK = """

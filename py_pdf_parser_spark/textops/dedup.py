@@ -129,22 +129,34 @@ def shingle_rows(
     return rows
 
 
-def minhash_wide(docs: DataFrame, n: int = 3) -> DataFrame:
+def minhash_wide(
+    docs: DataFrame, n: int = 3, rows: Optional[DataFrame] = None
+) -> DataFrame:
     """Wide MinHash signatures (doc_id, m0..m{k-1}), one row per doc.
 
     ``shingle_rows`` -> one groupBy(doc_id) with k min-aggregates: the
     groupBy reuses the window's doc_id partitioning (no extra
     exchange), partial aggregation is map-side combinable, and
     min(multiset) == min(set) so no distinct pass is needed.
+
+    ``rows``: precomputed ``shingle_rows`` output (distinct or not —
+    min is set-idempotent).  In a parse-once-query-many deployment the
+    shingle rows are a materialized table shared by every dedup
+    operator; recomputing the tokenize+window+md5 pipeline per operator
+    is the single biggest avoidable cost in composed queries.
     """
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE).alias(f"m{k}")
         for k, (a, b) in enumerate(MINHASH_PARAMS)
     ]
-    return shingle_rows(docs, n).groupBy("doc_id").agg(*aggs)
+    if rows is None:
+        rows = shingle_rows(docs, n)
+    return rows.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, rows: Optional[DataFrame] = None
+) -> DataFrame:
     """MinHash signature rows (doc_id, k, minhash).
 
     Shape: explode shingle hashes once, then ONE groupBy(doc_id) with k
@@ -153,7 +165,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     the cost), and the aggregation is map-side combinable: the shuffle
     carries k ints per doc per partition.
     """
-    wide = minhash_wide(docs, n)
+    wide = minhash_wide(docs, n, rows=rows)
     sig_cols = [
         F.struct(
             F.lit(k).alias("k"), F.col(f"m{k}").cast("long").alias("minhash")
@@ -223,7 +235,8 @@ def bucket_cap_stats(banded: DataFrame, keys: List[str],
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256
+    docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256,
+    rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -238,7 +251,7 @@ def lsh_candidate_pairs(
     different orders and miss each other) — and with no second groupBy
     shuffle.
     """
-    wide = minhash_wide(docs)
+    wide = minhash_wide(docs, rows=rows)
     n_bands = len(MINHASH_PARAMS) // rows_per_band
     band_structs = [
         F.struct(
@@ -341,6 +354,7 @@ def ngram_jaccard_pairs(
 def jaccard_lsh_verified(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     rows_per_band: int = 2, max_bucket: int = 256,
+    rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH banding proposes candidates, exact n-gram
     Jaccard verifies them — the at-scale default for corpus-wide
@@ -359,8 +373,9 @@ def jaccard_lsh_verified(
     two hash joins against the shingle rows on (doc, h) — never
     corpus-quadratic.
     """
-    cands = lsh_candidate_pairs(docs, rows_per_band, max_bucket)
-    rows = shingle_rows(docs, n, distinct=True)
+    if rows is None:
+        rows = shingle_rows(docs, n, distinct=True)
+    cands = lsh_candidate_pairs(docs, rows_per_band, max_bucket, rows=rows)
     counts = rows.groupBy("doc_id").agg(F.count("*").alias("nd"))
     inter = (
         cands.join(
@@ -400,7 +415,7 @@ def jaccard_lsh_verified(
 def dup_clusters(
     docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256,
     max_iter: int = 25, checkpoint_dir: Optional[str] = None,
-    stats: Optional[dict] = None,
+    stats: Optional[dict] = None, rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the LSH
     candidate-pair graph, cluster_id = min doc_id in the component.
@@ -413,7 +428,7 @@ def dup_clusters(
     Delegates to ``connected_components`` (min-label propagation with
     pointer jumping) over the LSH candidate graph.
     """
-    edges = lsh_candidate_pairs(docs, rows_per_band, max_bucket)
+    edges = lsh_candidate_pairs(docs, rows_per_band, max_bucket, rows=rows)
     return connected_components(
         docs.select("doc_id").distinct(), edges,
         max_iter=max_iter, checkpoint_dir=checkpoint_dir, stats=stats,
