@@ -215,3 +215,32 @@ class TestDupClusters:
             ).collect()
         }
         assert set(out.values()) == {1}
+
+
+class TestSharedShingleRows:
+    """Precomputed-rows threading (the persisted shingle table the
+    queries layer shares across MinHash/LSH/Jaccard) must be
+    result-identical to each operator computing its own rows."""
+
+    def _corpus(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        rows = [(i, base + f"tail {i % 7}") for i in range(40)]
+        rows += [(100 + i, f"unique doc {i} with words " + "x " * i)
+                 for i in range(10)]
+        return _docs(spark, rows)
+
+    def test_operators_match_with_and_without_shared_rows(self, spark):
+        docs = self._corpus(spark)
+        rows = dedup.shingle_rows(docs, 3, distinct=True).persist()
+        try:
+            for fn in (
+                lambda d, r: dedup.minhash_signatures(d, rows=r),
+                lambda d, r: dedup.lsh_candidate_pairs(d, rows=r),
+                lambda d, r: dedup.jaccard_lsh_verified(d, rows=r),
+                lambda d, r: dedup.dup_clusters(d, rows=r),
+            ):
+                alone = {tuple(x) for x in fn(docs, None).collect()}
+                shared = {tuple(x) for x in fn(docs, rows).collect()}
+                assert alone == shared and alone
+        finally:
+            rows.unpersist()
