@@ -38,10 +38,15 @@ def get_spark(
         # Arrow transfer for pandas UDF kernels.  Batch size is
         # load-bearing: small batches (e.g. 512) make the JVM<->Python
         # round-trip dominate and anti-scale under concurrency (measured:
-        # 3x slower at local[32] vs 8192).  8192 docs x ~20 spans is
-        # ~10-20 MB per batch — well within worker memory.
+        # 3x slower at local[32] vs 8192; 32768 is a further ~5% win at
+        # 32 concurrent workers in local mode and ~20% in multi-executor
+        # local-cluster mode — fewer handoffs per task).  32k docs x ~20
+        # spans is ~40-80 MB per batch — well within worker memory.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "32768"),
+        )
         # Input split sizing: keep scan tasks balanced at scale.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.compression.codec", "zstd")
