@@ -69,11 +69,15 @@ def _force(df) -> int:
 
 
 def _read_replicated(spark, corpus_path: str, replicate: int):
-    docs = spark.read.parquet(corpus_path)
-    out = docs
-    for _ in range(replicate - 1):
-        out = out.unionByName(spark.read.parquet(corpus_path))
-    return out
+    # One scan over the path repeated `replicate` times (Spark keeps
+    # duplicate paths): constant-size plan regardless of replicate, and
+    # split tuning sees the full replicated byte count.  The previous
+    # replicate-way unionByName built an O(replicate)-branch plan whose
+    # analysis ran INSIDE the timed region — at sf0.001 (replicate
+    # ~2400) that was minutes of driver-side planning per pass.
+    if replicate <= 1:
+        return spark.read.parquet(corpus_path)
+    return spark.read.parquet(*([corpus_path] * replicate))
 
 
 def _run_extraction(spark, corpus_path: str, rebal: bool = False,
@@ -85,9 +89,10 @@ def _run_extraction(spark, corpus_path: str, rebal: bool = False,
     )
     from pyspark.sql import functions as F
 
-    # Split sizing is per-branch; a replicated read multiplies task count
-    # by itself, so one tuning call covers both cases.
-    tune_scan_splits(spark, corpus_path)
+    # Split sizing accounts for replication (one scan over the repeated
+    # path list), keeping per-task work identical to the unreplicated
+    # case.
+    tune_scan_splits(spark, corpus_path, replicate=replicate)
     docs = _read_replicated(spark, corpus_path, replicate)
     if rebal:
         out = extract_spans_rebalanced(spark, docs)
@@ -457,14 +462,20 @@ def _write_baseline_md(
         f.write("\n".join(lines))
 
 
-def main() -> None:
+def main(quick: bool = False) -> None:
+    """Full bench, or --quick: flagship + per-query only (1 measured
+    pass, no skew/scaling/kernel-control sections, does NOT overwrite
+    BENCH/BASELINE.md) — a smoke-drive for verification.  The scaling
+    sections target a fixed ~60 s job per executor level, so the full
+    bench takes ~30+ min at ANY sf; --quick finishes in a few minutes.
+    """
     from py_pdf_parser_spark.queries import queries as all_queries
     from py_pdf_parser_spark.session import get_spark
     from py_pdf_parser_spark.synth import ensure_mixed_corpus, sf_of_dir
 
     sf = sf_of_dir(SF_DIR)
     flat = ensure_mixed_corpus(sf)
-    skewed = ensure_mixed_corpus(sf, skew=True)
+    skewed = None if quick else ensure_mixed_corpus(sf, skew=True)
     if os.path.exists(PYFILES_ZIP):
         os.remove(PYFILES_ZIP)  # never ship a stale package to executors
 
@@ -475,7 +486,7 @@ def main() -> None:
     # best-of hides regressions while a single pass fabricates them.
     _run_extraction(spark, flat)
     flagship_passes = []
-    for _ in range(3):
+    for _ in range(1 if quick else 3):
         docs, spans, s = _run_extraction(spark, flat)
         flagship_passes.append(round(s, 3))
     sec = statistics.median(flagship_passes)
@@ -489,20 +500,23 @@ def main() -> None:
     # scenario rebalancing targets.  (High replication re-reads the same
     # heavy files dozens of times, which self-spreads them and models a
     # corpus where heavy segments are already uniformly distributed.)
-    skew_rep = max(1, 160_000 // max(docs, 1))
-    _run_extraction(spark, skewed, rebal=False, replicate=skew_rep)  # warm
-    _, _, skew_plain = _run_extraction(
-        spark, skewed, rebal=False, replicate=skew_rep
-    )
-    _, _, skew_rebal = _run_extraction(
-        spark, skewed, rebal=True, replicate=skew_rep
-    )
-    _, _, flat_cmp = _run_extraction(spark, flat, replicate=skew_rep)
-    skew = {
-        "flat_sec": flat_cmp,
-        "skew_plain_sec": skew_plain,
-        "skew_rebal_sec": skew_rebal,
-    }
+    if quick:
+        skew = {}
+    else:
+        skew_rep = max(1, 160_000 // max(docs, 1))
+        _run_extraction(spark, skewed, rebal=False, replicate=skew_rep)
+        _, _, skew_plain = _run_extraction(
+            spark, skewed, rebal=False, replicate=skew_rep
+        )
+        _, _, skew_rebal = _run_extraction(
+            spark, skewed, rebal=True, replicate=skew_rep
+        )
+        _, _, flat_cmp = _run_extraction(spark, flat, replicate=skew_rep)
+        skew = {
+            "flat_sec": flat_cmp,
+            "skew_plain_sec": skew_plain,
+            "skew_rebal_sec": skew_rebal,
+        }
 
     # Shared-input caches (parse-once-query-many deployment shape: the
     # clustered elements persist + the three spread driver tables +
@@ -534,7 +548,7 @@ def main() -> None:
     query_passes = {name: [] for name in BENCH_QUERIES}
     for name in BENCH_QUERIES:  # warm (includes corpus synth first run)
         _force(qs[name](spark, SF_DIR))
-    for _ in range(3):
+    for _ in range(1 if quick else 3):
         for name in BENCH_QUERIES:
             df = qs[name](spark, SF_DIR)
             t0 = time.time()
@@ -553,6 +567,23 @@ def main() -> None:
     # headroom, like a real cluster); the full-box 8-core pair and the
     # Spark-free kernel control expose how much of any shortfall is the
     # shared-host hardware rather than the engine.
+    if quick:
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship extraction wall time (quick, "
+                    f"local[{CPUS}])",
+                    "value": round(sec, 3),
+                    "unit": "sec",
+                    "cache_fill_sec": cache_fill_sec,
+                    "queries": query_secs,
+                    "sf": sf,
+                    "docs": docs,
+                    "docs_per_sec": round(docs / sec, 1),
+                }
+            )
+        )
+        return
     scaling = _scaling_lc(flat, docs, cores=2, rounds=2)
     # 3 rounds for the full-box pair: it is the noisiest measurement on
     # this host (all 32 CPUs busy -> shared memory-controller contention
@@ -607,4 +638,4 @@ if __name__ == "__main__":
     elif len(sys.argv) >= 2 and sys.argv[1] == "--kernel-worker":
         kernel_worker()
     else:
-        main()
+        main(quick="--quick" in sys.argv[1:])
