@@ -249,6 +249,41 @@ def gridmerge_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# colmerge family — element spanning multiple COLUMNS (the transpose of
+# gridmerge); geometry from the reference's own fix_cols case
+# (tests/test_tables.py:843-875): a full-width element above a 2-column
+# row.  Without fix_element_in_multiple_cols extract_table must raise
+# TableExtractionError; with it the wide element stays in its left-most
+# column only (tables.py:403-445).
+# ---------------------------------------------------------------------------
+
+_COLMERGE_SPEC = [
+    # (text, x0, x1, y0, y1): "wide" spans both columns.
+    ("wide", 0, 10, 6, 10),
+    ("left", 0, 5, 0, 5),
+    ("right", 6, 10, 0, 5),
+]
+
+
+def colmerge_spans(i: int) -> List[Span]:
+    return [("text", row[0], None, o) for o, row in enumerate(_COLMERGE_SPEC)]
+
+
+def colmerge_layout(i: int, offsets: np.ndarray) -> Dict[str, np.ndarray]:
+    rows = [_COLMERGE_SPEC[int(o)] for o in offsets]
+    return dict(
+        page=np.ones(len(rows), dtype=np.int64),
+        x0=np.asarray([r[1] for r in rows], dtype=np.float64),
+        x1=np.asarray([r[2] for r in rows], dtype=np.float64),
+        y0=np.asarray([r[3] for r in rows], dtype=np.float64),
+        y1=np.asarray([r[4] for r in rows], dtype=np.float64),
+        font_name=np.asarray(["fake_font"] * len(rows), dtype=object),
+        font_size=[10] * len(rows),
+        page_width=100.0, page_height=100.0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # media family — interleaved text+media, stacked layout.
 # ---------------------------------------------------------------------------
 
@@ -413,6 +448,7 @@ SPAN_BUILDERS = {
     "memo": memo_spans,
     "ordsum": ordsum_spans,
     "gridmerge": gridmerge_spans,
+    "colmerge": colmerge_spans,
     "media": media_spans,
     "bigdoc": bigdoc_spans,
     "bigmedia": bigmedia_spans,
@@ -425,6 +461,7 @@ LAYOUT_BUILDERS = {
     "memo": memo_layout,
     "ordsum": ordsum_layout,
     "gridmerge": gridmerge_layout,
+    "colmerge": colmerge_layout,
     "media": media_layout,
     "bigdoc": bigdoc_layout,
     "bigmedia": bigmedia_layout,

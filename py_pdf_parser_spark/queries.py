@@ -1066,6 +1066,216 @@ def pp_table_dup_headers(spark, sf_dir):
 
 
 @q(
+    "pp_colmerge_table",
+    """
+SELECT d.doc_id, CAST(v.row_id AS BIGINT) AS row_id,
+       CAST(v.col_id AS BIGINT) AS col_id, v.value
+FROM read_parquet('{colmerge_path}/*.parquet') d
+CROSS JOIN (VALUES (0, 0, 'wide'), (0, 1, ''), (1, 0, 'left'),
+            (1, 1, 'right')) AS v(row_id, col_id, value)""",
+)
+def pp_colmerge_table(spark, sf_dir):
+    """extract_table with a column-spanning element: the wide element is
+    kept only in its left-most column (fix_element_in_multiple_cols,
+    tables.py:403-445); geometry mirrors the reference's own fix_cols
+    case (tests/test_tables.py:843-875)."""
+    import pandas as pd
+
+    from .errors import DocError
+    from .kernel.parse import doc_from_spans
+    from .kernel.tables import extract_table
+
+    docs = spark.read.parquet(
+        ensure_family_corpus("colmerge", sf_of_dir(sf_dir))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "row_id": [], "col_id": [], "value": []}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                try:
+                    doc = doc_from_spans(doc_id, spans)
+                    table = extract_table(
+                        doc.elements, as_text=True,
+                        fix_element_in_multiple_cols=True,
+                    )
+                except DocError:
+                    continue
+                for r, row in enumerate(table):
+                    for c, v in enumerate(row):
+                        rows["doc_id"].append(doc_id)
+                        rows["row_id"].append(r)
+                        rows["col_id"].append(c)
+                        rows["value"].append(v)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen, "doc_id string, row_id long, col_id long, value string"
+    )
+
+
+@q(
+    "pp_table_validation",
+    """
+SELECT d.doc_id, v.chk, v.status
+FROM read_parquet('{ordsum_path}/*.parquet') d
+CROSS JOIN (VALUES ('valid', 'ok'),
+            ('short_header', 'InvalidTableHeaderError'),
+            ('dup_header', 'InvalidTableHeaderError'),
+            ('ragged', 'InvalidTableError'),
+            ('colspan_plain', 'TableExtractionError'),
+            ('colspan_fixed', 'ok')) AS v(chk, status)""",
+)
+def pp_table_validation(spark, sf_dir):
+    """Table validation error taxonomy as data (SURVEY.md §2 #45/#47/#50):
+    per doc run six checks — add_header_to_table with a valid header /
+    wrong-length header / duplicated header names (tables.py:262-306),
+    _validate_table_shape on a deliberately ragged table
+    (tables.py:333-345), and extract_table on a column-spanning grid
+    with and without fix_element_in_multiple_cols (tables.py:190-200) —
+    and emit (doc_id, check, status) rows.  Exercises the validators as
+    per-doc status rows, the distributed analogue of the reference's
+    raise-and-assert tests."""
+    import pandas as pd
+
+    from .errors import (
+        DocError,
+        InvalidTableError,
+        InvalidTableHeaderError,
+        TableExtractionError,
+    )
+    from .kernel.layout import colmerge_spans
+    from .kernel.parse import doc_from_spans
+    from .kernel.tables import (
+        add_header_to_table,
+        extract_simple_table,
+        extract_table,
+        _validate_table_shape,
+    )
+
+    docs = spark.read.parquet(
+        ensure_family_corpus("ordsum", sf_of_dir(sf_dir))
+    )
+
+    colspans = [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for (k, t, m, o) in colmerge_spans(0)
+    ]
+
+    def status_of(fn):
+        try:
+            fn()
+            return "ok"
+        except (InvalidTableHeaderError, InvalidTableError,
+                TableExtractionError) as err:
+            return type(err).__name__
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "chk": [], "status": []}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                try:
+                    doc = doc_from_spans(doc_id, spans)
+                    els = doc.elements
+                    items_start = (
+                        els.filter_by_font("sub_title")
+                        .filter_by_text_equal("Items ordered:")
+                        .extract_single_element()
+                    )
+                    totals_start = (
+                        els.filter_by_font("sub_title")
+                        .filter_by_text_equal("Totals:")
+                        .extract_single_element()
+                    )
+                    doc.sectioning.create_section(
+                        "items", items_start, totals_start,
+                        include_last_element=False,
+                    )
+                    items = els.filter_by_section("items_0").filter_by_fonts(
+                        "table_header", "table_text"
+                    )
+                    table = extract_simple_table(items, as_text=True)
+                except DocError:
+                    continue
+                width = len(table[0])
+                cdoc = doc_from_spans("colmerge-0", colspans)
+                checks = [
+                    ("valid", lambda: add_header_to_table(
+                        table, [f"h{c}" for c in range(width)])),
+                    ("short_header", lambda: add_header_to_table(
+                        table, [f"h{c}" for c in range(width - 1)])),
+                    ("dup_header", lambda: add_header_to_table(
+                        table, ["h0"] * width)),
+                    ("ragged", lambda: _validate_table_shape(
+                        [table[0], table[1][:-1]])),
+                    ("colspan_plain", lambda: extract_table(
+                        cdoc.elements, as_text=True)),
+                    ("colspan_fixed", lambda: extract_table(
+                        cdoc.elements, as_text=True,
+                        fix_element_in_multiple_cols=True)),
+                ]
+                for chk, fn in checks:
+                    rows["doc_id"].append(doc_id)
+                    rows["chk"].append(chk)
+                    rows["status"].append(status_of(fn))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, "doc_id string, chk string, status string")
+
+
+@q(
+    "pp_set_protocol",
+    _ora_cte()
+    + """
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE font = 'f1,8') AS BIGINT) AS n_f1,
+       bool_or(idx = 0 AND font = 'f1,8') AS first_in,
+       (count(*) FILTER (WHERE font = 'f1,8') = 0
+        AND count(*) FILTER (WHERE font = 'f0,8') = 0) AS xeq,
+       TRUE AS union_eq, TRUE AS hash_dedup
+FROM elements GROUP BY doc_id""",
+)
+def pp_set_protocol(spark, sf_dir):
+    """ElementList set protocol as data (SURVEY.md §2 #41): __len__,
+    __getitem__ + __contains__, __eq__ against an unequal and an equal
+    list, and __hash__ consistency (a python set of two equal lists
+    dedups to one) — per doc, emitted as columns (filtering.py:76-107
+    protocol surface)."""
+    import pandas as pd
+
+    from .kernel.parse import doc_from_spans
+
+    docs = _ora_docs(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_f1": [], "first_in": [],
+                "xeq": [], "union_eq": [], "hash_dedup": [],
+            }
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                doc = doc_from_spans(doc_id, spans)
+                els = doc.elements
+                l1 = els.filter_by_font("f1,8")
+                l0 = els.filter_by_font("f0,8")
+                rows["doc_id"].append(doc_id)
+                rows["n_f1"].append(len(l1))
+                rows["first_in"].append(els[0] in l1)
+                rows["xeq"].append(l1 == l0)
+                rows["union_eq"].append((l1 | l1) == l1)
+                rows["hash_dedup"].append(
+                    len({l1, els.filter_by_font("f1,8")}) == 1
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id string, n_f1 long, first_in boolean, xeq boolean, "
+        "union_eq boolean, hash_dedup boolean",
+    )
+
+
+@q(
     "pp_tag_ignore_flow",
     _ora_cte()
     + """
@@ -2042,6 +2252,10 @@ _PRIORITY = [
     "ev_sessionize",
     "ev_distinct_users",
     "ev_json_props",
+    # -- new this round (fix_cols / validators / set protocol) -----------
+    "pp_colmerge_table",
+    "pp_table_validation",
+    "pp_set_protocol",
     # -- touched this round (ordering kernel / move_from / chunk caps) ---
     "pp_ordering_presets",
     "pp_ordering_custom",
@@ -2117,6 +2331,7 @@ def oracle_sql() -> Dict[str, str]:
         "memo_path": ensure_family_corpus("memo", ORACLE_SF),
         "ordsum_path": ensure_family_corpus("ordsum", ORACLE_SF),
         "gridmerge_path": ensure_family_corpus("gridmerge", ORACLE_SF),
+        "colmerge_path": ensure_family_corpus("colmerge", ORACLE_SF),
         "duphdr_path": ensure_family_corpus("duphdr", ORACLE_SF),
     }
     ensure_oracle_corpus(ORACLE_SF)

@@ -196,6 +196,25 @@ class TestExtractTable:
         )
         assert table == [["A", "B"], ["C", ""]]
 
+    def test_colmerge_family_matches_reference_fixture(self):
+        # The synthetic colmerge family mirrors the reference's own
+        # fix_cols geometry (tests/test_tables.py:843-875); the expected
+        # table is the reference's asserted output.
+        from py_pdf_parser_spark.kernel.layout import colmerge_spans
+        from py_pdf_parser_spark.kernel.parse import doc_from_spans
+
+        spans = [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in colmerge_spans(0)
+        ]
+        doc = doc_from_spans("colmerge-0", spans)
+        with pytest.raises(TableExtractionError):
+            extract_table(doc.elements, as_text=True)
+        table = extract_table(
+            doc.elements, as_text=True, fix_element_in_multiple_cols=True
+        )
+        assert table == [["wide", ""], ["left", "right"]]
+
 
 class TestHeaders:
     def test_add_header_default_first_row(self):
