@@ -2281,7 +2281,6 @@ _PRIORITY = [
     "pp_text_raw",
     "pp_getitem_slice",
     "mm_media_features",
-    "mm_resize_plan",
 ]
 
 
