@@ -2195,6 +2195,13 @@ def _simhash_pairs_oracle(max_hamming: int = 3, max_bucket: int = 256) -> str:
         for band in range(n_bands)
     )
     ham = "bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT))"
+    # Mirror of the engine's lowest-agreeing-band emit (dedup.simhash_pairs):
+    # a pair appears only at the first band where the signatures agree.
+    lowest_band = " AND ".join(
+        f"(a.band <= {j} OR (xor(a.simhash, b.simhash) >> {j * width}) "
+        f"& {(1 << width) - 1} <> 0)"
+        for j in range(n_bands - 1)
+    )
     return f"""{_simhash_cte()},
 banded AS ({bands}),
 capped AS (
@@ -2203,11 +2210,12 @@ capped AS (
               ORDER BY md5(band::VARCHAR || ':' || doc_id), doc_id) - 1)
              // {max_bucket} AS chunk
   FROM banded)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST({ham} AS BIGINT) AS hamming
 FROM capped a JOIN capped b
   ON a.band = b.band AND a.bval = b.bval AND a.chunk = b.chunk
-WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}"""
+WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}
+  AND {lowest_band}"""
 
 
 @q("td_simhash_pairs", _simhash_pairs_oracle())

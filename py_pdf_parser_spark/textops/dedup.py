@@ -587,6 +587,14 @@ def simhash_pairs(
     ``bit_count(xor)``.  Complete recall over the signature space, never
     corpus-quadratic; hot band-buckets are chunk-capped like LSH
     (``_chunk_capped``).  Shuffle keys are (band:int, value:int) — tiny.
+
+    Each pair is emitted at exactly its LOWEST agreeing band (both
+    signatures are on the joined row, so "no band below this one also
+    agrees" is pure bit math) — output is unique by construction, so
+    the pair set needs NO distinct/shuffle.  Same one-key-counts trick
+    as the jaccard b±1 blocks.  In over-cap buckets this reads as: a
+    pair is found iff it is co-chunked at its lowest agreeing band
+    (the per-band salted chunking makes that a fresh draw per band).
     """
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
@@ -609,9 +617,17 @@ def simhash_pairs(
     capped = _chunk_capped(banded, ["band", "bval"], "band", max_bucket)
     a = capped.alias("a")
     b = capped.alias("b")
+    mask = (1 << width) - 1
+    lowest_band = F.expr(
+        " AND ".join(
+            f"(band <= {j} OR (shiftright(a.simhash ^ b.simhash, "
+            f"{j * width}) & {mask}) != 0)"
+            for j in range(n_bands - 1)
+        )
+    )
     return (
         a.join(b, ["band", "bval", "chunk"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & lowest_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -619,5 +635,4 @@ def simhash_pairs(
             .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
