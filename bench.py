@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "ev_windowed_counts",
     "ev_sessionize",
     "ev_json_props",
+    "html_main_text",
+    "html_content_spans",
 ]
 
 

@@ -24,12 +24,14 @@ from .kernel.layout import _MEMO_SPEC, _ORDSUM_SPEC  # golden specs
 from .pipeline import extract_spans, parse_elements
 from .synth import (
     ensure_family_corpus,
+    ensure_html_corpus,
     ensure_oracle_corpus,
     oracle_corpus_path,
     sf_of_dir,
 )
 from . import events as events_ops
 from .textops import analysis, dedup, media, similarity
+from .textops import html as html_ops
 
 ORACLE_SF = 0.01  # the driver compares at sf=0.01
 
@@ -2226,6 +2228,175 @@ def td_simhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# html main-content extraction (north_rule: "HTML boilerplate strip …
+# DOM heuristics").  Input: the deterministic synthesized HTML corpus
+# (synth.html_doc) — content wrapped in crawler boilerplate (head/nav/
+# header/footer/aside/script/style chrome + link-farm ad blocks).  The
+# oracle mirrors the exact regex pipeline in DuckDB (RE2): patterns are
+# shared constants with no backreferences/lookahead, so Java regex and
+# RE2 produce identical matches.
+# ---------------------------------------------------------------------------
+
+
+def _html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "__html__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = spark.read.parquet(ensure_html_corpus(sf_of_dir(sf_dir))).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _duck_region_strip(col: str) -> str:
+    expr = f"regexp_replace({col}, '{html_ops.COMMENT_RE}', '', 'g')"
+    for tag in html_ops.REGION_TAGS:
+        pat = rf"(?is)<{tag}\b[^>]*>.*?</{tag}>"
+        expr = f"regexp_replace({expr}, '{pat}', '', 'g')"
+    return expr
+
+
+def _duck_visible(col: str) -> str:
+    out = f"regexp_replace({col}, '{html_ops.TAG_RE}', '', 'g')"
+    for ent, rep in html_ops.ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({out}, '{html_ops.WS_RE}', ' ', 'g'))"
+
+
+def _html_blocks_cte() -> str:
+    return f"""
+WITH pages AS (
+  SELECT doc_id, html FROM read_parquet('{{html_path}}/*.parquet')
+), stripped AS (
+  SELECT doc_id, {_duck_region_strip("html")} AS s FROM pages
+), seg AS (
+  SELECT doc_id, string_split_regex(s, '{html_ops.BLOCK_SPLIT_RE}') AS bl
+  FROM stripped
+), blk0 AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(bl))) - 1 AS BIGINT) AS block_idx,
+         unnest(bl) AS raw
+  FROM seg
+), blk1 AS (
+  SELECT doc_id, block_idx, raw, {_duck_visible("raw")} AS text FROM blk0
+), blocks AS (
+  SELECT doc_id, block_idx, raw, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(
+             regexp_extract_all(raw, '{html_ops.ANCHOR_RE}', 1),
+             a -> length({_duck_visible("a")}))), 0) AS BIGINT) AS link_chars
+  FROM blk1 WHERE text <> ''
+), feat AS (
+  SELECT *, link_chars / n_chars AS link_density,
+         (n_chars >= {html_ops.MIN_CONTENT_CHARS}
+          AND link_chars * {html_ops.LINK_DEN} <= n_chars) AS is_content
+  FROM blocks
+)"""
+
+
+@q(
+    "html_block_features",
+    _html_blocks_cte()
+    + """
+SELECT doc_id, block_idx, text, n_chars, n_words, link_chars,
+       link_density, is_content
+FROM feat""",
+)
+def html_block_features(spark, sf_dir):
+    """Block segmentation + text statistics: the boilerplate
+    classifier's evidence table, exported per block."""
+    return html_ops.block_features(_html_table(spark, sf_dir))
+
+
+@q(
+    "html_main_text",
+    _html_blocks_cte()
+    + """
+SELECT doc_id,
+       COALESCE(string_agg(text, chr(10) ORDER BY block_idx)
+           FILTER (WHERE is_content), '') AS main_text,
+       CAST(COALESCE(count(*) FILTER (WHERE is_content), 0) AS BIGINT)
+           AS n_content_blocks,
+       CAST(COALESCE(count(*) FILTER (WHERE NOT is_content), 0) AS BIGINT)
+           AS n_boilerplate_blocks,
+       CAST(COALESCE(sum(n_chars) FILTER (WHERE is_content), 0) AS BIGINT)
+           AS content_chars
+FROM feat GROUP BY doc_id""",
+)
+def html_main_text(spark, sf_dir):
+    """Boilerplate-stripped main text per page (block-ordered)."""
+    return html_ops.main_text(_html_table(spark, sf_dir))
+
+
+@q(
+    "html_content_spans",
+    _html_blocks_cte()
+    + f"""
+, content AS (
+  SELECT *, regexp_extract_all(raw, '{html_ops.IMG_SRC_RE}', 1) AS refs
+  FROM feat WHERE is_content
+), media AS (
+  SELECT doc_id, block_idx,
+         unnest(generate_series(1, len(refs))) - 1 AS intra,
+         'media' AS kind, CAST(NULL AS VARCHAR) AS text_out,
+         unnest(refs) AS media_ref
+  FROM content
+), textsp AS (
+  SELECT doc_id, block_idx, len(refs) AS intra, 'text' AS kind,
+         text AS text_out, CAST(NULL AS VARCHAR) AS media_ref
+  FROM content
+), unioned AS (
+  SELECT * FROM media UNION ALL SELECT * FROM textsp
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY block_idx, intra) - 1 AS BIGINT) AS seq,
+       kind, text_out AS text, media_ref
+FROM unioned""",
+)
+def html_content_spans(spark, sf_dir):
+    """Main content as ordered (kind, text, media_ref, order) spans —
+    the engine's canonical extraction output, from HTML input."""
+    return html_ops.content_spans(_html_table(spark, sf_dir))
+
+
+@q(
+    "html_title",
+    f"""
+WITH pages AS (
+  SELECT doc_id, html FROM read_parquet('{{html_path}}/*.parquet')
+)
+SELECT doc_id,
+       {_duck_visible(f"COALESCE(regexp_extract(html, '{html_ops.TITLE_RE}', 1), '')")} AS title,
+       {_duck_visible(f"COALESCE(regexp_extract(html, '{html_ops.H1_RE}', 1), '')")} AS h1
+FROM pages""",
+)
+def html_title(spark, sf_dir):
+    """<title> and first <h1> per page, entity-decoded."""
+    return html_ops.titles(_html_table(spark, sf_dir))
+
+
+@q(
+    "html_link_stats",
+    _html_blocks_cte()
+    + """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(COALESCE(count(*) FILTER (WHERE is_content), 0) AS BIGINT)
+           AS n_content_blocks,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(link_chars) AS BIGINT) AS total_link_chars,
+       sum(link_chars) / sum(n_chars) AS doc_link_density
+FROM feat GROUP BY doc_id""",
+)
+def html_link_stats(spark, sf_dir):
+    """Per-page DOM/link statistics over all non-empty blocks."""
+    return html_ops.link_stats(_html_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 #
@@ -2260,7 +2431,13 @@ _PRIORITY = [
     "ev_sessionize",
     "ev_distinct_users",
     "ev_json_props",
-    # -- new this round (fix_cols / validators / set protocol) -----------
+    # -- new this round (html extraction / fix_cols / validators / set
+    #    protocol) --------------------------------------------------------
+    "html_block_features",
+    "html_main_text",
+    "html_content_spans",
+    "html_title",
+    "html_link_stats",
     "pp_colmerge_table",
     "pp_table_validation",
     "pp_set_protocol",
@@ -2282,14 +2459,12 @@ _PRIORITY = [
     "pp_sections",
     "pp_section_elements",
     "pp_sections_multi",
-    "pp_tag_ignore_flow",
     "pp_set_xor",
-    "pp_filter_udf",
-    "pp_font_mapping_regex",
-    "pp_text_raw",
-    "pp_getitem_slice",
     "mm_media_features",
 ]
+# Rotated to the tail this round (r1+r2 double-green, untouched):
+# pp_filter_udf, pp_font_mapping_regex, pp_text_raw, pp_getitem_slice,
+# pp_tag_ignore_flow.
 
 
 def _reorder_registry() -> None:
@@ -2340,6 +2515,7 @@ def oracle_sql() -> Dict[str, str]:
         "gridmerge_path": ensure_family_corpus("gridmerge", ORACLE_SF),
         "colmerge_path": ensure_family_corpus("colmerge", ORACLE_SF),
         "duphdr_path": ensure_family_corpus("duphdr", ORACLE_SF),
+        "html_path": ensure_html_corpus(ORACLE_SF),
     }
     ensure_oracle_corpus(ORACLE_SF)
     out = {}

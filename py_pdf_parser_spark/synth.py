@@ -198,3 +198,118 @@ def sf_of_dir(sf_dir: str) -> float:
     if base.startswith("sf"):
         return float(base[2:])
     return 0.01
+
+
+# ---------------------------------------------------------------------------
+# HTML corpus — deterministic web pages for the main-content-extraction
+# surface (north_rule: "HTML boilerplate strip … DOM heuristics").
+#
+# Every page is a pure function of its doc number: a content region
+# (headings, paragraphs, inline links/entities, interleaved <img> media)
+# wrapped in the classic boilerplate shells a crawler sees — <script>/
+# <style>, <header>/<nav>/<aside>/<footer> chrome, and link-farm "ad"
+# blocks that survive region stripping but fail the link-density rule.
+# Variants exercised: uppercase tags (i%11==0), nested div wrappers
+# (i%5==0), HTML entities, short sub-threshold captions vs long ones.
+# ---------------------------------------------------------------------------
+
+_HTML_WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+
+
+def _hw(i: int, j: int) -> str:
+    return _HTML_WORDS[(i * 7 + j * 13) % len(_HTML_WORDS)]
+
+
+def _html_sentence(i: int, para: int, n_words: int) -> str:
+    words = [_hw(i, para * 31 + k) for k in range(n_words)]
+    if (i + para) % 6 == 0 and n_words >= 4:
+        words[2] = words[2] + " &amp; " + words[3]  # decodes to '&'
+        del words[3]
+    if (i + para) % 9 == 0 and len(words) >= 2:
+        words[1] = words[1] + "&#39;s"  # decodes to apostrophe
+    return " ".join(words)
+
+
+def html_doc(i: int) -> str:
+    """One deterministic web page (pure function of ``i``)."""
+    up = i % 11 == 0  # uppercase block tags — the (?i) path
+    p, endp = ("<P>", "</P>") if up else ("<p>", "</p>")
+    parts = [
+        "<!DOCTYPE html>",
+        "<html><head>",
+        f"<title>Doc {i} &amp; the {_hw(i, 0)} report</title>",
+        "<style>body { margin: 0; }</style>",
+        f"<script>var page = {i};</script>",
+        "</head>",
+        "<body>",
+        f'<header><h1>Site {i % 7}</h1><a href="/home">Home</a></header>',
+        "<nav><ul>"
+        + "".join(
+            f'<li><a href="/s{k}">section {k}</a></li>'
+            for k in range(3 + i % 4)
+        )
+        + "</ul></nav>",
+        "<!-- layout chrome ends here -->",
+    ]
+    if i % 5 == 0:
+        parts.append('<div class="outer"><div class="inner">')
+    # Heading: 3-5 words — straddles the min-chars content threshold.
+    parts.append(f"<h2>{_html_sentence(i, 90, 3 + i % 3)}</h2>")
+    n_paras = 2 + i % 5
+    for j in range(n_paras):
+        body = _html_sentence(i, j, 10 + (i + j) % 6)
+        if j == 0:
+            body = f'<img src="img://{i}/0" alt=""/>' + body
+        if (i + j) % 4 == 0:
+            body += f' see <a href="/x{j}">the {_hw(i, j + 50)} notes</a>'
+        parts.append(f"{p}{body}{endp}")
+    # Link-farm ad block: survives region strip, fails link density.
+    parts.append(
+        f'<div class="ad"><a href="/buy{i}">buy {_hw(i, 7)} now</a></div>'
+    )
+    # Figure caption: short (boilerplate) except every third doc.
+    cap_words = 9 if i % 3 == 0 else 2
+    parts.append(
+        f'{p}<img src="img://{i}/1" alt=""/>{_html_sentence(i, 95, cap_words)}{endp}'
+    )
+    if i % 5 == 0:
+        parts.append("</div></div>")
+    parts.append(
+        '<aside><a href="/rel1">related</a> <a href="/rel2">more</a></aside>'
+    )
+    parts.append(f'<footer>&copy; site {i % 7} <a href="/priv">Privacy</a></footer>')
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+HTML_ARROW_SCHEMA = pa.schema([("doc_id", pa.string()), ("html", pa.string())])
+
+
+def html_corpus_path(sf: float) -> str:
+    return os.path.join(SYNTH_DIR, f"html_sf{sf}")
+
+
+def ensure_html_corpus(sf: float) -> str:
+    """HTML corpus: n_docs = 60000*sf (sf0.01 -> 600 pages)."""
+    path = html_corpus_path(sf)
+    if os.path.exists(path):
+        return path
+    n_docs = max(50, int(60000 * sf))
+    tmp_dir = path + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    for file_no, start in enumerate(range(0, n_docs, DOCS_PER_FILE)):
+        idx = range(start, min(start + DOCS_PER_FILE, n_docs))
+        table = pa.Table.from_pydict(
+            {
+                "doc_id": [f"html-{i:06d}" for i in idx],
+                "html": [html_doc(i) for i in idx],
+            },
+            schema=HTML_ARROW_SCHEMA,
+        )
+        pq.write_table(table, f"{tmp_dir}/part-{file_no:05d}.parquet")
+    os.rename(tmp_dir, path)
+    return path
