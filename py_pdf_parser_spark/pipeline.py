@@ -109,17 +109,18 @@ _ELEMENTS_ARROW = pa.schema(
 )
 
 
-def parse_elements_arrow_batch(
-    batch: pa.RecordBatch, config: dict = None
-) -> pa.RecordBatch:
+def pack_elements_batch(docs) -> pa.RecordBatch:
+    """Pack (doc_id, Doc) pairs into one ELEMENTS_SCHEMA RecordBatch.
+
+    Shared by the spans parse path (parse_elements) and the byte-stream
+    loader (sources.pdf_bytes): any producer of kernel Docs gets the
+    same Arrow element rows."""
     cols = {name: [] for name in (
         "doc_id", "idx", "page_number", "page_width", "page_height",
         "x0", "x1", "y0", "y1", "text", "text_raw", "font_name",
         "font_size", "font", "kind", "media_ref",
     )}
-    for _, doc_id, doc in _iter_docs(batch, config):
-        if isinstance(doc, DocError):
-            continue  # parse-stage errors surface via extract_spans status
+    for doc_id, doc in docs:
         n = doc.n
         pw, ph = doc._page_width, doc._page_height
         cols["doc_id"].append(np.full(n, doc_id, dtype=object))
@@ -162,6 +163,17 @@ def parse_elements_arrow_batch(
     arrays.append(empty_tags)
     arrays.append(pa.array(np.zeros(n_rows, dtype=bool)))
     return pa.RecordBatch.from_arrays(arrays, schema=_ELEMENTS_ARROW)
+
+
+def parse_elements_arrow_batch(
+    batch: pa.RecordBatch, config: dict = None
+) -> pa.RecordBatch:
+    return pack_elements_batch(
+        (doc_id, doc)
+        for _, doc_id, doc in _iter_docs(batch, config)
+        # parse-stage errors surface via extract_spans status
+        if not isinstance(doc, DocError)
+    )
 
 
 def parse_elements(docs_df: DataFrame, config: dict = None) -> DataFrame:

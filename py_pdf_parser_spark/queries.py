@@ -2379,6 +2379,33 @@ def html_title(spark, sf_dir):
 
 
 @q(
+    "html_dedup_main_text",
+    _html_blocks_cte()
+    + """
+, main AS (
+  SELECT doc_id,
+         COALESCE(string_agg(text, chr(10) ORDER BY block_idx)
+             FILTER (WHERE is_content), '') AS text
+  FROM feat GROUP BY doc_id
+)
+SELECT min(doc_id) AS doc_id, md5(text) AS digest,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM main GROUP BY md5(text)""",
+)
+def html_dedup_main_text(spark, sf_dir):
+    """Extraction -> dedup composition: exact-dedup survivors over the
+    boilerplate-stripped main text.  Boilerplate varies per page (nav
+    counts, ad targets) while content repeats — deduplicating RAW html
+    would find nothing; deduplicating extracted main text finds the
+    true duplicate groups (the reason crawl dedup runs post-extraction).
+    The synthesized corpus has real duplicate structure: content is
+    period-180 in doc number."""
+    return dedup.dedup_survivors(
+        html_ops.as_documents(_html_table(spark, sf_dir))
+    )
+
+
+@q(
     "html_link_stats",
     _html_blocks_cte()
     + """
@@ -2438,6 +2465,7 @@ _PRIORITY = [
     "html_content_spans",
     "html_title",
     "html_link_stats",
+    "html_dedup_main_text",
     "pp_colmerge_table",
     "pp_table_validation",
     "pp_set_protocol",
@@ -2455,7 +2483,6 @@ _PRIORITY = [
     "pp_ordsum_table",
     "pp_font_mode",
     "pp_gridmerge_table",
-    "pp_table_dup_headers",
     "pp_sections",
     "pp_section_elements",
     "pp_sections_multi",

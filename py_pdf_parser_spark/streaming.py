@@ -257,3 +257,48 @@ def stream_extract(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_html_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of crawled HTML page parquet drops."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("html", StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def stream_html_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous HTML main-content extraction: readStream → the exact
+    batch span pipeline (textops.html.content_spans) → append sink.
+
+    The block pipeline is stateless narrow Column expressions, so it
+    runs unchanged under Structured Streaming; the only stateful piece
+    (the per-doc row_number for span ``seq``) is computed per
+    micro-batch under ``foreachBatch`` — correct because a page arrives
+    whole in one file, never split across batches."""
+    from .textops.html import content_spans
+
+    stream = read_html_stream(spark, input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        content_spans(batch_df).write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -214,6 +214,13 @@ def content_spans(pages: DataFrame) -> DataFrame:
     )
 
 
+def as_documents(pages: DataFrame) -> DataFrame:
+    """Extracted pages as a (doc_id, text) documents table — the bridge
+    from the extraction surface into the corpus-prep operators (dedup,
+    quality, token counts run unchanged on crawled HTML)."""
+    return main_text(pages).select("doc_id", F.col("main_text").alias("text"))
+
+
 def titles(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """<title> and first <h1> per page (entity-decoded, normalized)."""
 

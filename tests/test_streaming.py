@@ -203,3 +203,36 @@ def test_stream_dedup_keeps_first_per_digest(spark, tmp_path):
     assert n_out == n_digests == want
     # the doubled drop means input rows are ~2x the survivors
     assert batch.count() > n_out
+
+
+def test_stream_html_extract_matches_batch(spark, tmp_path):
+    """Streaming HTML main-content extraction == batch content_spans."""
+    import os
+    import shutil
+
+    from py_pdf_parser_spark.streaming import stream_html_extract
+    from py_pdf_parser_spark.synth import ensure_html_corpus
+    from py_pdf_parser_spark.textops.html import content_spans
+
+    src = ensure_html_corpus(0.001)
+    in_dir = str(tmp_path / "html_in")
+    os.makedirs(in_dir)
+    for name in os.listdir(src):
+        if name.endswith(".parquet"):
+            shutil.copy(os.path.join(src, name), os.path.join(in_dir, name))
+
+    out_dir = str(tmp_path / "html_out")
+    ckpt = str(tmp_path / "html_ckpt")
+    query = stream_html_extract(spark, in_dir, out_dir, ckpt)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in content_spans(spark.read.parquet(src)).collect()
+    )
+    assert got == want
