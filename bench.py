@@ -559,6 +559,8 @@ def main(quick: bool = False) -> None:
         _events_table,
         _shingle_rows_table,
         _html_table,
+        _minhash_wide_table,
+        _simhash_table,
     )
 
     t0 = time.time()
@@ -568,6 +570,8 @@ def main(quick: bool = False) -> None:
     _events_table(spark, SF_DIR).count()
     _shingle_rows_table(spark, SF_DIR).count()
     _html_table(spark, SF_DIR).count()
+    _minhash_wide_table(spark, SF_DIR).count()
+    _simhash_table(spark, SF_DIR).count()
     cache_fill_sec = round(time.time() - t0, 3)
 
     # Per-query timings (steady-state): one warm round, then 3 measured

@@ -199,6 +199,36 @@ def _shingle_rows_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _minhash_wide_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide MinHash signature table, persisted per (application,
+    corpus) — the materialized-signature-table analogue.  Every LSH
+    consumer (candidate pairs, verified jaccard, dup clusters) banded
+    BOTH self-join sides from a recomputed signature aggregate;
+    persisting the tiny (doc_id, m0..m7) table computes it once."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__minhash_wide__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = dedup.minhash_wide(
+        _docs_table(spark, sf_dir), rows=_shingle_rows_table(spark, sf_dir)
+    ).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) persisted per (application, corpus): the
+    signature aggregate (explode + 32 bit-vote sums) dominates
+    simhash_pairs' cost and appears on both self-join sides."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__simhash__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = dedup.simhash(_docs_table(spark, sf_dir)).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
 def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Event-time epoch math (events._epoch) is pure NTZ field
     # extraction — session-timezone-independent by construction, so no
@@ -1595,7 +1625,7 @@ def _minhash_oracle() -> str:
 def td_minhash_signatures(spark, sf_dir):
     sig = dedup.minhash_signatures(
         _docs_table(spark, sf_dir),
-        rows=_shingle_rows_table(spark, sf_dir),
+        wide=_minhash_wide_table(spark, sf_dir),
     )
     return sig.select("doc_id", F.col("k").cast("long").alias("k"), "minhash")
 
@@ -1631,7 +1661,7 @@ def _simhash_oracle() -> str:
 
 @q("td_simhash", _simhash_oracle())
 def td_simhash(spark, sf_dir):
-    return dedup.simhash(_docs_table(spark, sf_dir))
+    return _simhash_table(spark, sf_dir)
 
 
 @q(
@@ -2016,7 +2046,7 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src"""
 def td_lsh_candidate_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(
         _docs_table(spark, sf_dir),
-        rows=_shingle_rows_table(spark, sf_dir),
+        wide=_minhash_wide_table(spark, sf_dir),
     )
 
 
@@ -2056,6 +2086,7 @@ def td_jaccard_lsh_verified(spark, sf_dir):
     return dedup.jaccard_lsh_verified(
         _docs_table(spark, sf_dir),
         rows=_shingle_rows_table(spark, sf_dir),
+        wide=_minhash_wide_table(spark, sf_dir),
     )
 
 
@@ -2066,7 +2097,7 @@ def td_dup_clusters(spark, sf_dir):
     even when A~C was never a candidate pair)."""
     return dedup.dup_clusters(
         _docs_table(spark, sf_dir),
-        rows=_shingle_rows_table(spark, sf_dir),
+        wide=_minhash_wide_table(spark, sf_dir),
     )
 
 
@@ -2224,7 +2255,9 @@ WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}
 def td_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs at Hamming <= 3 via pigeonhole banding
     (4 bands x 8 bits: any <=3-bit-different pair agrees on a band)."""
-    return dedup.simhash_pairs(_docs_table(spark, sf_dir))
+    return dedup.simhash_pairs(
+        _docs_table(spark, sf_dir), sig=_simhash_table(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -155,7 +155,8 @@ def minhash_wide(
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, rows: Optional[DataFrame] = None
+    docs: DataFrame, n: int = 3, rows: Optional[DataFrame] = None,
+    wide: Optional[DataFrame] = None,
 ) -> DataFrame:
     """MinHash signature rows (doc_id, k, minhash).
 
@@ -165,7 +166,8 @@ def minhash_signatures(
     the cost), and the aggregation is map-side combinable: the shuffle
     carries k ints per doc per partition.
     """
-    wide = minhash_wide(docs, n, rows=rows)
+    if wide is None:
+        wide = minhash_wide(docs, n, rows=rows)
     sig_cols = [
         F.struct(
             F.lit(k).alias("k"), F.col(f"m{k}").cast("long").alias("minhash")
@@ -236,7 +238,7 @@ def bucket_cap_stats(banded: DataFrame, keys: List[str],
 
 def lsh_candidate_pairs(
     docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256,
-    rows: Optional[DataFrame] = None,
+    rows: Optional[DataFrame] = None, wide: Optional[DataFrame] = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -251,7 +253,12 @@ def lsh_candidate_pairs(
     different orders and miss each other) — and with no second groupBy
     shuffle.
     """
-    wide = minhash_wide(docs, rows=rows)
+    if wide is None:
+        # ``wide``: precomputed minhash_wide output — in a deployment
+        # this is a materialized signature table shared by every LSH
+        # consumer (pairs, verified-jaccard, clusters); recomputing the
+        # signature aggregate per join branch is avoidable cost.
+        wide = minhash_wide(docs, rows=rows)
     n_bands = len(MINHASH_PARAMS) // rows_per_band
     band_structs = [
         F.struct(
@@ -354,7 +361,7 @@ def ngram_jaccard_pairs(
 def jaccard_lsh_verified(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     rows_per_band: int = 2, max_bucket: int = 256,
-    rows: Optional[DataFrame] = None,
+    rows: Optional[DataFrame] = None, wide: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH banding proposes candidates, exact n-gram
     Jaccard verifies them — the at-scale default for corpus-wide
@@ -375,7 +382,9 @@ def jaccard_lsh_verified(
     """
     if rows is None:
         rows = shingle_rows(docs, n, distinct=True)
-    cands = lsh_candidate_pairs(docs, rows_per_band, max_bucket, rows=rows)
+    cands = lsh_candidate_pairs(
+        docs, rows_per_band, max_bucket, rows=rows, wide=wide
+    )
     counts = rows.groupBy("doc_id").agg(F.count("*").alias("nd"))
     inter = (
         cands.join(
@@ -416,6 +425,7 @@ def dup_clusters(
     docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256,
     max_iter: int = 25, checkpoint_dir: Optional[str] = None,
     stats: Optional[dict] = None, rows: Optional[DataFrame] = None,
+    wide: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the LSH
     candidate-pair graph, cluster_id = min doc_id in the component.
@@ -428,7 +438,9 @@ def dup_clusters(
     Delegates to ``connected_components`` (min-label propagation with
     pointer jumping) over the LSH candidate graph.
     """
-    edges = lsh_candidate_pairs(docs, rows_per_band, max_bucket, rows=rows)
+    edges = lsh_candidate_pairs(
+        docs, rows_per_band, max_bucket, rows=rows, wide=wide
+    )
     return connected_components(
         docs.select("doc_id").distinct(), edges,
         max_iter=max_iter, checkpoint_dir=checkpoint_dir, stats=stats,
@@ -576,7 +588,8 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, max_bucket: int = 256
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int = 256,
+    sig: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-dup pairs at SimHash Hamming distance <= ``max_hamming``.
 
@@ -598,7 +611,9 @@ def simhash_pairs(
     """
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
-    sig = simhash(docs)
+    if sig is None:
+        # precomputed simhash table (see ``wide`` on lsh_candidate_pairs)
+        sig = simhash(docs)
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),

@@ -244,3 +244,32 @@ class TestSharedShingleRows:
                 assert alone == shared and alone
         finally:
             rows.unpersist()
+
+
+class TestSharedSignatureTables:
+    """Shared persisted signature tables (minhash_wide / simhash) must be
+    result-identical to per-operator recomputation — the same guarantee
+    the shared shingle-rows table carries."""
+
+    def test_lsh_pairs_same_with_shared_wide(self, spark):
+        docs = _docs(
+            spark,
+            [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+             for i in range(60)],
+        )
+        wide = dedup.minhash_wide(docs)
+        a = sorted(map(tuple, dedup.lsh_candidate_pairs(docs).collect()))
+        b = sorted(map(tuple,
+                       dedup.lsh_candidate_pairs(docs, wide=wide).collect()))
+        assert a == b and a
+
+    def test_simhash_pairs_same_with_shared_sig(self, spark):
+        docs = _docs(
+            spark,
+            [(i, " ".join(f"w{(i // 3 * 5 + j) % 17}" for j in range(20)))
+             for i in range(45)],
+        )
+        sig = dedup.simhash(docs)
+        a = sorted(map(tuple, dedup.simhash_pairs(docs).collect()))
+        b = sorted(map(tuple, dedup.simhash_pairs(docs, sig=sig).collect()))
+        assert a == b and a
