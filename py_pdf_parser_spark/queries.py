@@ -1688,7 +1688,10 @@ SELECT doc_a, doc_b, round(ni / (na + nb - ni), 4) AS jaccard
 FROM pairs WHERE round(ni / (na + nb - ni), 4) >= 0.5""",
 )
 def td_ngram_jaccard_pairs(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs_table(spark, sf_dir))
+    return dedup.ngram_jaccard_pairs(
+        _docs_table(spark, sf_dir),
+        rows=_shingle_rows_table(spark, sf_dir),
+    )
 
 
 # -- similarity search ------------------------------------------------------------------

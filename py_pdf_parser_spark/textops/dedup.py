@@ -294,7 +294,7 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
-    block_chars: int = 16,
+    block_chars: int = 16, rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard within cheap length blocks.
 
@@ -310,9 +310,6 @@ def ngram_jaccard_pairs(
     # previous shape joined two scans of the same table on doc_id — a
     # full extra shuffle); the round-robin exchange then materializes hs
     # once, and the self-join's two sides reuse it (ReusedExchange).
-    blocked = docs.withColumn(
-        "oblk", (F.length("text") / block_chars).cast("long")
-    )
     # |A∩B| via shingle rows + equi-join on (blk, hash) + count — the
     # whole hot loop is JVM codegen (window, hash join, hash agg).  A
     # per-pair array_intersect looks cheaper on paper but runs
@@ -320,7 +317,16 @@ def ngram_jaccard_pairs(
     # Distinct-set sizes ride along in the rows, so no extra join; the
     # per-doc window count (computed BEFORE the 2x block emit) reuses the
     # shingle window's partitioning.
-    rows = shingle_rows(blocked, n, keep=("oblk",), distinct=True)
+    oblk = (F.length("text") / block_chars).cast("long").alias("oblk")
+    if rows is not None:
+        # Shared DISTINCT shingle table: attach the length-block key with
+        # one doc_id join (the rows keep hash(doc_id) partitioning, so
+        # only the tiny (doc_id, oblk) projection shuffles) instead of
+        # re-running tokenize+window+md5+distinct.
+        rows = rows.join(docs.select("doc_id", oblk), "doc_id")
+    else:
+        blocked = docs.withColumn("oblk", oblk)
+        rows = shingle_rows(blocked, n, keep=("oblk",), distinct=True)
     ex = (
         rows.withColumn(
             "nd", F.count("*").over(Window.partitionBy("doc_id"))

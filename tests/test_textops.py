@@ -273,3 +273,15 @@ class TestSharedSignatureTables:
         a = sorted(map(tuple, dedup.simhash_pairs(docs).collect()))
         b = sorted(map(tuple, dedup.simhash_pairs(docs, sig=sig).collect()))
         assert a == b and a
+
+    def test_jaccard_pairs_same_with_shared_rows(self, spark):
+        docs = _docs(
+            spark,
+            [(i, " ".join(f"w{(i // 2 * 5 + j) % 19}" for j in range(25)))
+             for i in range(40)],
+        )
+        rows = dedup.shingle_rows(docs, 3, distinct=True)
+        a = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs).collect()))
+        b = sorted(map(tuple,
+                       dedup.ngram_jaccard_pairs(docs, rows=rows).collect()))
+        assert a == b and a
