@@ -2168,7 +2168,10 @@ def td_corpus_prep(spark, sf_dir):
     quality gate.  One query exercising the full dedup/quality stack."""
     from .textops.prep import corpus_prep
 
-    return corpus_prep(_docs_table(spark, sf_dir))
+    return corpus_prep(
+        _docs_table(spark, sf_dir),
+        wide=_minhash_wide_table(spark, sf_dir),
+    )
 
 
 # Pathological-bucket stress: the base corpus plus 300 byte-identical

@@ -15,6 +15,8 @@ budgeting stats (token counts ride along for downstream sampling).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,13 +27,22 @@ def corpus_prep(
     docs: DataFrame,
     min_tokens: int = 5,
     max_punct_ratio: float = 0.2,
+    wide: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """-> (doc_id, n_tokens, n_chars) of the kept documents."""
+    """-> (doc_id, n_tokens, n_chars) of the kept documents.
+
+    ``wide``: the corpus's shared MinHash signature table; signatures
+    are per-document (independent of which other docs survive exact
+    dedup), so the deduped subset's signatures are just a semi-join."""
     survivors = dedup.dedup_survivors(docs).select("doc_id")
     deduped = docs.join(survivors, "doc_id", "leftsemi")
 
     reps = (
-        dedup.dup_clusters(deduped)
+        dedup.dup_clusters(
+            deduped,
+            wide=None if wide is None
+            else wide.join(survivors, "doc_id", "leftsemi"),
+        )
         .where(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
     )
