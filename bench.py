@@ -472,9 +472,10 @@ def _write_baseline_md(
         "Steady-state operator cost under the parse-once-query-many "
         "deployment shape: the clustered elements persist (the in-memory "
         "analogue of the bucketed elements table), the three spread "
-        "driver tables and the distinct shingle-rows table (the "
-        "materialized-shingle-table analogue) are filled once per "
-        "session — "
+        "driver tables, the html page table, and the shared "
+        "shingle-rows / MinHash-wide / SimHash signature tables (the "
+        "materialized-table analogues a deployment writes next to the "
+        "corpus) are filled once per session — "
         + (
             f"**{cache_fill_sec:.2f} s** total, timed separately"
             if cache_fill_sec is not None
