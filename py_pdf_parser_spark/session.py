@@ -12,10 +12,38 @@ from typing import Optional
 from pyspark.sql import SparkSession
 
 
+def iceberg_configs(
+    warehouse: str, catalog: str = "corpus"
+) -> dict:
+    """Session configs for an Apache Iceberg catalog (the table format
+    the north rule names for the 10^12-doc corpus).
+
+    Apply BEFORE the session is created (``get_spark(iceberg_warehouse=
+    ...)`` or spark-submit --conf).  Needs the public
+    ``iceberg-spark-runtime`` jar on the cluster classpath — not baked
+    into this sandbox, so nothing here activates by default; the parquet
+    path layout (bucket partition column + dynamic partition overwrite)
+    is the sandbox stand-in with the same idempotent-resume semantics.
+    On Iceberg, dynamic overwrite maps to ``overwritePartitions()`` and
+    the lineage table becomes a plain Iceberg table; bucketing uses a
+    hidden ``bucket(B, doc_id)`` partition transform instead of the
+    materialized bucket column."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
 def get_spark(
     cores: Optional[int] = None,
     app_name: str = "spark-pdf-extract",
     shuffle_partitions: Optional[int] = None,
+    iceberg_warehouse: Optional[str] = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
@@ -56,4 +84,7 @@ def get_spark(
         # 1.5x at local[32]).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
+    if iceberg_warehouse:
+        for k, v in iceberg_configs(iceberg_warehouse).items():
+            builder = builder.config(k, v)
     return builder.getOrCreate()
