@@ -79,31 +79,51 @@ def spark():
     return get_spark(cores=4)
 
 
-def test_block_features_spark_equals_duckdb(spark, tmp_path_factory):
+@pytest.fixture(scope="module")
+def fuzz_parquet(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("htmlfuzz") / "pages.parquet")
     ids = [f"fuzz-{i:04d}" for i in range(300)]
     pages = [random_page(1000 + i) for i in range(300)]
-    pq.write_table(
-        pa.table({"doc_id": ids, "html": pages}), out
-    )
+    pq.write_table(pa.table({"doc_id": ids, "html": pages}), out)
+    return out
 
-    got = sorted(
-        tuple(r)
-        for r in H.block_features(spark.read.parquet(out)).collect()
-    )
 
-    from py_pdf_parser_spark.queries import _html_blocks_cte
+def _oracle_rows(name: str, path: str):
+    from py_pdf_parser_spark.queries import oracle_sql
+    from py_pdf_parser_spark.synth import ensure_html_corpus
 
-    sql = (
-        _html_blocks_cte().replace(
-            "read_parquet('{html_path}/*.parquet')",
-            f"read_parquet('{out}')",
-        )
-        + """
-SELECT doc_id, block_idx, text, n_chars, n_words, link_chars,
-       link_density, is_content
-FROM feat"""
+    sql = oracle_sql()[name].replace(
+        f"read_parquet('{ensure_html_corpus(0.01)}/*.parquet')",
+        f"read_parquet('{path}')",
     )
     con = duckdb.connect()  # named: a temporary would be GC'd mid-fetch
-    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    return sorted(tuple(r) for r in con.sql(sql).fetchall())
+
+
+def test_block_features_spark_equals_duckdb(spark, fuzz_parquet):
+    got = sorted(
+        tuple(r)
+        for r in H.block_features(
+            spark.read.parquet(fuzz_parquet)
+        ).collect()
+    )
+    want = _oracle_rows("html_block_features", fuzz_parquet)
+    assert len(got) == len(want) and got == want
+
+
+def test_content_spans_spark_equals_duckdb(spark, fuzz_parquet):
+    got = sorted(
+        tuple(r)
+        for r in H.content_spans(spark.read.parquet(fuzz_parquet)).collect()
+    )
+    want = _oracle_rows("html_content_spans", fuzz_parquet)
+    assert len(got) == len(want) and got == want
+
+
+def test_main_text_spark_equals_duckdb(spark, fuzz_parquet):
+    got = sorted(
+        tuple(r)
+        for r in H.main_text(spark.read.parquet(fuzz_parquet)).collect()
+    )
+    want = _oracle_rows("html_main_text", fuzz_parquet)
     assert len(got) == len(want) and got == want
