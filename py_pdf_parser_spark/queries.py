@@ -913,9 +913,11 @@ FROM read_parquet('{{memo_path}}/*.parquet') d
 CROSS JOIN (VALUES {_memo_expected_values()}) AS v(ord, text)""",
 )
 def pp_memo_extract(spark, sf_dir):
-    docs = spark.read.parquet(
+    # Family corpora are one ~2000-doc file at bench sf: without the
+    # spread the per-doc kernel runs on ONE core (see _spread).
+    docs = _spread(spark.read.parquet(
         ensure_family_corpus("memo", sf_of_dir(sf_dir))
-    )
+    ))
     out = extract_spans(spark, docs)
     s = out.select("doc_id", F.explode("spans").alias("s"))
     return s.select(
@@ -958,9 +960,11 @@ def pp_ordsum_table(spark, sf_dir):
     from .kernel.parse import doc_from_spans
     from .kernel.tables import extract_simple_table
 
-    docs = spark.read.parquet(
+    # Family corpora are one ~2000-doc file at bench sf: without the
+    # spread the per-doc kernel runs on ONE core (see _spread).
+    docs = _spread(spark.read.parquet(
         ensure_family_corpus("ordsum", sf_of_dir(sf_dir))
-    )
+    ))
 
     def gen(batches):
         for pdf in batches:
@@ -1020,9 +1024,11 @@ def pp_gridmerge_table(spark, sf_dir):
     from .kernel.parse import doc_from_spans
     from .kernel.tables import extract_table
 
-    docs = spark.read.parquet(
+    # Family corpora are one ~2000-doc file at bench sf: without the
+    # spread the per-doc kernel runs on ONE core (see _spread).
+    docs = _spread(spark.read.parquet(
         ensure_family_corpus("gridmerge", sf_of_dir(sf_dir))
-    )
+    ))
 
     def gen(batches):
         for pdf in batches:
@@ -1068,9 +1074,11 @@ def pp_table_dup_headers(spark, sf_dir):
     from .kernel.parse import doc_from_spans
     from .kernel.tables import extract_simple_table
 
-    docs = spark.read.parquet(
+    # Family corpora are one ~2000-doc file at bench sf: without the
+    # spread the per-doc kernel runs on ONE core (see _spread).
+    docs = _spread(spark.read.parquet(
         ensure_family_corpus("duphdr", sf_of_dir(sf_dir))
-    )
+    ))
 
     def gen(batches):
         for pdf in batches:
@@ -1117,9 +1125,11 @@ def pp_colmerge_table(spark, sf_dir):
     from .kernel.parse import doc_from_spans
     from .kernel.tables import extract_table
 
-    docs = spark.read.parquet(
+    # Family corpora are one ~2000-doc file at bench sf: without the
+    # spread the per-doc kernel runs on ONE core (see _spread).
+    docs = _spread(spark.read.parquet(
         ensure_family_corpus("colmerge", sf_of_dir(sf_dir))
-    )
+    ))
 
     def gen(batches):
         for pdf in batches:
@@ -1185,9 +1195,11 @@ def pp_table_validation(spark, sf_dir):
         _validate_table_shape,
     )
 
-    docs = spark.read.parquet(
+    # Family corpora are one ~2000-doc file at bench sf: without the
+    # spread the per-doc kernel runs on ONE core (see _spread).
+    docs = _spread(spark.read.parquet(
         ensure_family_corpus("ordsum", sf_of_dir(sf_dir))
-    )
+    ))
 
     colspans = [
         {"kind": k, "text": t, "media_ref": m, "offset": o}
