@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "ev_json_props",
     "html_main_text",
     "html_content_spans",
+    "html_dedup_main_text",
 ]
 
 
