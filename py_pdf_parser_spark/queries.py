@@ -23,6 +23,7 @@ from .frame import ElementFrame
 from .kernel.layout import _MEMO_SPEC, _ORDSUM_SPEC  # golden specs
 from .pipeline import extract_spans, parse_elements
 from .synth import (
+    ensure_borderline_corpus,
     ensure_family_corpus,
     ensure_html_corpus,
     ensure_oracle_corpus,
@@ -204,7 +205,7 @@ def _minhash_wide_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) — the materialized-signature-table analogue.  Every LSH
     consumer (candidate pairs, verified jaccard, dup clusters) banded
     BOTH self-join sides from a recomputed signature aggregate;
-    persisting the tiny (doc_id, m0..m7) table computes it once."""
+    persisting the tiny (doc_id, m0..m31) table computes it once."""
     key = (spark.sparkContext.applicationId, sf_dir, "__minhash_wide__")
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
@@ -1621,16 +1622,23 @@ def td_exact_dups(spark, sf_dir):
 
 
 def _minhash_oracle() -> str:
+    h = _H_DUCK.format(s="s")
     selects = []
     for k, (a, b) in enumerate(dedup.MINHASH_PARAMS):
-        h = _H_DUCK.format(s="s")
         selects.append(
             f"SELECT doc_id, CAST({k} AS BIGINT) AS k, "
-            f"CAST(list_min(list_transform(shingles, "
-            f"s -> ({a} * {h} + {b}) % {dedup.MERSENNE})) AS BIGINT) AS minhash "
-            f"FROM sh WHERE len(shingles) > 0"
+            f"CAST(list_min(list_transform(hs, "
+            f"x -> ({a} * x + {b}) % {dedup.MERSENNE})) AS BIGINT) AS minhash "
+            f"FROM mh0"
         )
-    return _SHINGLES_DUCK + "\n" + "\nUNION ALL\n".join(selects)
+    return (
+        _SHINGLES_DUCK
+        + f""",
+mh0 AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs
+        FROM sh WHERE len(shingles) > 0)
+"""
+        + "\nUNION ALL\n".join(selects)
+    )
 
 
 @q("td_minhash_signatures", _minhash_oracle())
@@ -1986,14 +1994,19 @@ def ev_json_props(spark, sf_dir):
 def _lsh_pairs_cte(source_cte: str = _SHINGLES_DUCK,
                    max_bucket: int = 256) -> str:
     """WITH body ending in capped(doc_id, band, bucket, chunk) — the
-    shared prefix of the LSH pair/cluster oracles."""
+    shared prefix of the LSH pair/cluster oracles.
+
+    Shingles are md5-hashed ONCE into ``mh0.hs``; the k min-aggregates
+    then run cheap affine arithmetic over the int list (with 32
+    permutations, inlining md5 into each aggregate would run it 32x
+    per shingle)."""
     h = _H_DUCK.format(s="s")
     mins = ", ".join(
-        f"CAST(list_min(list_transform(shingles, "
-        f"s -> ({a} * {h} + {b}) % {dedup.MERSENNE})) AS BIGINT) AS m{k}"
+        f"CAST(list_min(list_transform(hs, "
+        f"x -> ({a} * x + {b}) % {dedup.MERSENNE})) AS BIGINT) AS m{k}"
         for k, (a, b) in enumerate(dedup.MINHASH_PARAMS)
     )
-    rows_per_band = 2
+    rows_per_band = dedup.MINHASH_ROWS_PER_BAND
     n_bands = len(dedup.MINHASH_PARAMS) // rows_per_band
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {band} AS band, md5("
@@ -2005,7 +2018,9 @@ def _lsh_pairs_cte(source_cte: str = _SHINGLES_DUCK,
         for band in range(n_bands)
     )
     return f"""{source_cte},
-wide AS (SELECT doc_id, {mins} FROM sh WHERE len(shingles) > 0),
+mh0 AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs
+        FROM sh WHERE len(shingles) > 0),
+wide AS (SELECT doc_id, {mins} FROM mh0),
 banded AS ({bands}),
 capped AS (
   SELECT doc_id, band, bucket,
@@ -2065,12 +2080,12 @@ def td_lsh_candidate_pairs(spark, sf_dir):
     )
 
 
-def _jaccard_lsh_oracle() -> str:
+def _jaccard_lsh_oracle(source_cte: str = _SHINGLES_DUCK) -> str:
     """DuckDB mirror of dedup.jaccard_lsh_verified: the capped LSH
     candidate CTE (shared with td_lsh_candidate_pairs), then exact
     hashed-shingle Jaccard on candidates only."""
     h = _H_DUCK.format(s="s")
-    return f"""{_lsh_pairs_cte()},
+    return f"""{_lsh_pairs_cte(source_cte)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM capped a JOIN capped b
@@ -2294,7 +2309,12 @@ def _html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return hit
-    df = spark.read.parquet(ensure_html_corpus(sf_of_dir(sf_dir))).persist()
+    # _spread like every other driver table: at bench sf the corpus is
+    # one parquet file, so without it all html_* block pipelines would
+    # run on a single core (r3 ADVICE).
+    df = _spread(
+        spark.read.parquet(ensure_html_corpus(sf_of_dir(sf_dir)))
+    ).persist()
     _TABLE_CACHE[key] = df
     return df
 
@@ -2475,6 +2495,131 @@ def html_link_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# borderline-J recall fixture (VERDICT r3 "What's wrong" #1).  The
+# synthesized corpus plants near-dup pairs at J in [0.45, 0.82] — the
+# band where a weak MinHash config silently under-recalls.  Both
+# queries are fully deterministic (md5 hashing on both engines), so the
+# oracle mirrors the banding exactly; the RECALL achieved by the
+# 16-band config is itself a hash-checked output value.
+# ---------------------------------------------------------------------------
+
+_BL_SHINGLES_DUCK = _SHINGLES_DUCK.replace(
+    "FROM documents", "FROM read_parquet('{borderline_path}/*.parquet')"
+)
+
+
+def _bl_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "__borderline__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _spread(
+        spark.read.parquet(ensure_borderline_corpus(sf_of_dir(sf_dir)))
+    ).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _bl_rows_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "__bl_shingle_rows__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = dedup.shingle_rows(_bl_table(spark, sf_dir), 3, distinct=True).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _bl_wide_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "__bl_minhash_wide__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = dedup.minhash_wide(
+        _bl_table(spark, sf_dir), rows=_bl_rows_table(spark, sf_dir)
+    ).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
+@q("td_jaccard_borderline", _jaccard_lsh_oracle(_BL_SHINGLES_DUCK))
+def td_jaccard_borderline(spark, sf_dir):
+    """Dedup-at-threshold composition: jaccard_lsh_verified at
+    threshold 0.5 over planted borderline pairs.  The J=0.4545 pairs
+    probe precision (must be excluded by the exact verify); the
+    J=0.51-0.67 pairs probe banding recall at the threshold."""
+    return dedup.jaccard_lsh_verified(
+        _bl_table(spark, sf_dir),
+        rows=_bl_rows_table(spark, sf_dir),
+        wide=_bl_wide_table(spark, sf_dir),
+    )
+
+
+def _bl_recall_oracle() -> str:
+    h = _H_DUCK.format(s="s")
+    bl_path = "read_parquet('{borderline_path}/*.parquet')"
+    return f"""{_lsh_pairs_cte(_BL_SHINGLES_DUCK)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+),
+hsh AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh),
+lshp AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN hsh a ON a.doc_id = c.doc_a
+  JOIN hsh b ON b.doc_id = c.doc_b
+  WHERE round(len(list_intersect(a.hs, b.hs)) /
+        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4)
+        >= 0.5
+),
+blk AS (
+  SELECT h.doc_id, h.hs, length(d.text) // 16 AS blk
+  FROM hsh h JOIN {bl_path} d ON h.doc_id = d.doc_id
+),
+exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blk a JOIN blk b ON abs(a.blk - b.blk) <= 1 AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.hs, b.hs)) /
+        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4)
+        >= 0.5
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(l.doc_a) AS BIGINT) AS n_found,
+       round(count(l.doc_a) / count(*), 4) AS recall
+FROM exact e LEFT JOIN lshp l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b"""
+
+
+@q("td_lsh_recall_borderline", _bl_recall_oracle())
+def td_lsh_recall_borderline(spark, sf_dir):
+    """Banding recall, MEASURED: exact length-block Jaccard pairs vs
+    the LSH-verified set over the borderline corpus, as a one-row
+    (n_exact, n_found, recall) summary.  With 16 bands x 2 rows the
+    per-pair candidate probability at J=0.51 is 1-(1-J^2)^16 ~ 0.992,
+    so recall here should sit at ~1.0; a config regression (e.g. back
+    to 4 bands, ~0.68 at the threshold) drops it immediately and
+    hash-mismatches this row."""
+    bl = _bl_table(spark, sf_dir)
+    rows = _bl_rows_table(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(bl, threshold=0.5, rows=rows)
+    lsh = dedup.jaccard_lsh_verified(
+        bl, threshold=0.5, rows=rows, wide=_bl_wide_table(spark, sf_dir)
+    )
+    joined = exact.select("doc_a", "doc_b").join(
+        lsh.select("doc_a", "doc_b").withColumn("hit", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.count("hit").cast("long").alias("n_found"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
 #
@@ -2594,6 +2739,7 @@ def oracle_sql() -> Dict[str, str]:
         "colmerge_path": ensure_family_corpus("colmerge", ORACLE_SF),
         "duphdr_path": ensure_family_corpus("duphdr", ORACLE_SF),
         "html_path": ensure_html_corpus(ORACLE_SF),
+        "borderline_path": ensure_borderline_corpus(ORACLE_SF),
     }
     ensure_oracle_corpus(ORACLE_SF)
     out = {}

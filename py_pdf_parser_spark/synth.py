@@ -289,6 +289,85 @@ def html_doc(i: int) -> str:
 HTML_ARROW_SCHEMA = pa.schema([("doc_id", pa.string()), ("html", pa.string())])
 
 
+# ---------------------------------------------------------------------------
+# Borderline-Jaccard corpus — engineered near-dup pairs at J ~ 0.45-0.82
+# for the LSH recall fixture.  The driver's near-dup corpora contain
+# only near-identical families (J ~ 1), which any banding config
+# catches; the statistical risk of a weak config is at the BORDERLINE
+# (J around the 0.5 dedup threshold), so this corpus plants pairs
+# exactly there.
+#
+# Construction (pure function of doc number): docs come in groups of 3
+# (A, B, singleton).  Every word is unique to its group (fixed-width
+# ids), so 3-gram shingle sets are disjoint ACROSS groups and J is
+# exactly controlled WITHIN a group: A and B share their first m words
+# and differ afterwards, giving x = m-2 shared shingles out of
+# s = N_WORDS-2 per doc, J = x / (2s - x).  The per-group x cycles
+# through _BL_SHARED, sweeping J across the threshold:
+#   x=25 -> J=0.4545 (below 0.5: precision probe)
+#   x=27 -> J=0.5094, x=28 -> J=0.5385, x=30 -> J=0.6000,
+#   x=32 -> J=0.6667, x=36 -> J=0.8182
+# ---------------------------------------------------------------------------
+
+_BL_WORDS = 42  # words per doc -> 40 distinct 3-gram shingles
+_BL_SHARED = [25, 27, 28, 30, 32, 36]  # shared-shingle counts x
+
+
+def borderline_text(i: int) -> str:
+    """One corpus doc: group g = i//3, role = i%3 (0=A, 1=B, 2=singleton)."""
+    g, role = divmod(i, 3)
+    if role == 2:  # singleton distractor: all words unique to this doc
+        return " ".join(f"w{g:05d}s{k:02d}" for k in range(_BL_WORDS))
+    x = _BL_SHARED[g % len(_BL_SHARED)]
+    m = x + 2  # shared-prefix word count
+    words = [f"w{g:05d}a{k:02d}" for k in range(_BL_WORDS)]
+    if role == 1:  # pair doc: same prefix, unique same-width tail
+        words[m:] = [f"w{g:05d}b{k:02d}" for k in range(m, _BL_WORDS)]
+    return " ".join(words)
+
+
+def borderline_expected_pairs(n_docs: int, threshold: float = 0.5):
+    """The exact (doc_a, doc_b, jaccard) set the corpus plants — the
+    test fixture's ground truth, derived from the construction math."""
+    s = _BL_WORDS - 2
+    out = []
+    for g in range(n_docs // 3):
+        x = _BL_SHARED[g % len(_BL_SHARED)]
+        j = round(x / (2 * s - x), 4)
+        if j >= threshold:
+            out.append((f"bl-{3 * g:06d}", f"bl-{3 * g + 1:06d}", j))
+    return out
+
+
+def borderline_corpus_path(sf: float) -> str:
+    return os.path.join(SYNTH_DIR, f"borderline_sf{sf}")
+
+
+def ensure_borderline_corpus(sf: float) -> str:
+    """Borderline-J corpus: n_docs = 60000*sf (sf0.01 -> 600 docs =
+    200 planted pairs sweeping J in [0.45, 0.82])."""
+    path = borderline_corpus_path(sf)
+    if os.path.exists(path):
+        return path
+    n_docs = max(60, int(60000 * sf)) // 3 * 3
+    tmp_dir = path + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    for file_no, start in enumerate(range(0, n_docs, DOCS_PER_FILE)):
+        idx = range(start, min(start + DOCS_PER_FILE, n_docs))
+        table = pa.Table.from_pydict(
+            {
+                "doc_id": [f"bl-{i:06d}" for i in idx],
+                "text": [borderline_text(i) for i in idx],
+            },
+            schema=pa.schema(
+                [("doc_id", pa.string()), ("text", pa.string())]
+            ),
+        )
+        pq.write_table(table, f"{tmp_dir}/part-{file_no:05d}.parquet")
+    os.rename(tmp_dir, path)
+    return path
+
+
 def html_corpus_path(sf: float) -> str:
     return os.path.join(SYNTH_DIR, f"html_sf{sf}")
 

@@ -21,9 +21,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 MERSENNE = 2147483647  # 2^31 - 1
+# MinHash banding configuration — ONE surface.  The LSH recall curve is
+# P(candidate | J=t) = 1 - (1 - t^rows)^bands; with 16 bands x 2 rows
+# that is 0.99 at t=0.5 and ~1.0 above 0.7, so borderline near-dups
+# (J ~ 0.5-0.6) are still proposed with near-certainty.  bands x rows
+# determines the permutation count; everything downstream (signature
+# aggregates, banding, the DuckDB oracles) derives from these two
+# numbers, so they can never drift apart from the documented math.
+MINHASH_ROWS_PER_BAND = 2
+MINHASH_BANDS = 16
 # Deterministic affine hash params (a_k, b_k) for k minhash functions.
 MINHASH_PARAMS: List = [
-    (1 + 2 * k, 10007 * (k + 1) % MERSENNE) for k in range(8)
+    (1 + 2 * k, 10007 * (k + 1) % MERSENNE)
+    for k in range(MINHASH_BANDS * MINHASH_ROWS_PER_BAND)
 ]
 
 
@@ -237,7 +247,8 @@ def bucket_cap_stats(banded: DataFrame, keys: List[str],
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256,
+    docs: DataFrame, rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    max_bucket: int = 256,
     rows: Optional[DataFrame] = None, wide: Optional[DataFrame] = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
@@ -259,6 +270,11 @@ def lsh_candidate_pairs(
         # consumer (pairs, verified-jaccard, clusters); recomputing the
         # signature aggregate per join branch is avoidable cost.
         wide = minhash_wide(docs, rows=rows)
+    if len(MINHASH_PARAMS) % rows_per_band:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} does not divide the "
+            f"{len(MINHASH_PARAMS)} minhash permutations evenly"
+        )
     n_bands = len(MINHASH_PARAMS) // rows_per_band
     band_structs = [
         F.struct(
@@ -366,7 +382,7 @@ def ngram_jaccard_pairs(
 
 def jaccard_lsh_verified(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
-    rows_per_band: int = 2, max_bucket: int = 256,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND, max_bucket: int = 256,
     rows: Optional[DataFrame] = None, wide: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH banding proposes candidates, exact n-gram
@@ -379,10 +395,13 @@ def jaccard_lsh_verified(
     frequent shingle becomes join output.  Here the join fan-out is
     bounded by the LSH candidate set (true-near-dup density,
     chunk-capped), independent of how many docs share a length.
-    Recall is the banding's: with 16 bands x 2 rows,
-    P(candidate | J=t) = 1-(1-t^2)^16 — 0.99 at t=0.5, ~1.0 above 0.7;
-    measured 100% agreement with the exact operator at sf0.1 (256/256
-    pairs, BENCH/exp_jaccard_r3.py).  Shuffles: small candidate keys +
+    Recall is the banding's (MINHASH_BANDS x MINHASH_ROWS_PER_BAND =
+    16 x 2): P(candidate | J=t) = 1-(1-t^2)^16 — 0.99 at t=0.5, ~1.0
+    above 0.7; measured on engineered BORDERLINE pairs (J 0.51-0.67,
+    synth.borderline_text) by tests/test_borderline.py and the
+    td_lsh_recall_borderline driver query, plus 100% agreement with
+    the exact operator at sf0.1 (BENCH/exp_jaccard_r3.py).  Shuffles:
+    small candidate keys +
     two hash joins against the shingle rows on (doc, h) — never
     corpus-quadratic.
     """
