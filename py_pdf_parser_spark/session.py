@@ -79,6 +79,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
+        # No console progress bars: the bench/driver contract is ONE
+        # parseable JSON line on stdout, and progress output has
+        # polluted the driver's capture before (BENCH_r03 parsed: null).
+        .config("spark.ui.showConsoleProgress", "false")
         # Single-JVM local mode hosts all executor threads: GC pressure
         # at high core counts needs a big heap (measured: 8g heap cost
         # 1.5x at local[32]).

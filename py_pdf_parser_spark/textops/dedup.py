@@ -246,6 +246,46 @@ def bucket_cap_stats(banded: DataFrame, keys: List[str],
     )
 
 
+def minhash_banded(
+    wide: DataFrame, rows_per_band: int = MINHASH_ROWS_PER_BAND
+) -> DataFrame:
+    """(doc_id, band, bucket) rows from the wide signature table: one
+    md5 bucket per band over that band's signature slice, in k order —
+    NOT via ``collect_list`` (whose post-shuffle ordering is
+    nondeterministic at scale).  No shuffle: a narrow explode over the
+    wide table.  Exposed for audits (``bucket_cap_stats``) as well as
+    the candidate join."""
+    if len(MINHASH_PARAMS) % rows_per_band:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} does not divide the "
+            f"{len(MINHASH_PARAMS)} minhash permutations evenly"
+        )
+    n_bands = len(MINHASH_PARAMS) // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{band * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for band in range(n_bands)
+    ]
+    return (
+        wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame, rows_per_band: int = MINHASH_ROWS_PER_BAND,
     max_bucket: int = 256,
@@ -270,31 +310,7 @@ def lsh_candidate_pairs(
         # consumer (pairs, verified-jaccard, clusters); recomputing the
         # signature aggregate per join branch is avoidable cost.
         wide = minhash_wide(docs, rows=rows)
-    if len(MINHASH_PARAMS) % rows_per_band:
-        raise ValueError(
-            f"rows_per_band={rows_per_band} does not divide the "
-            f"{len(MINHASH_PARAMS)} minhash permutations evenly"
-        )
-    n_bands = len(MINHASH_PARAMS) // rows_per_band
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{band * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                )
-            ).alias("bucket"),
-        )
-        for band in range(n_bands)
-    ]
-    banded = (
-        wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    )
+    banded = minhash_banded(wide, rows_per_band)
     capped = _chunk_capped(banded, ["band", "bucket"], "band", max_bucket)
     a = capped.alias("a")
     b = capped.alias("b")
@@ -447,7 +463,8 @@ def jaccard_lsh_verified(
 
 
 def dup_clusters(
-    docs: DataFrame, rows_per_band: int = 2, max_bucket: int = 256,
+    docs: DataFrame, rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    max_bucket: int = 256,
     max_iter: int = 25, checkpoint_dir: Optional[str] = None,
     stats: Optional[dict] = None, rows: Optional[DataFrame] = None,
     wide: Optional[DataFrame] = None,
