@@ -5,8 +5,10 @@ The distributed analogue of the reference's ``load()``/``load_file()``
 layout, per-character font names and heights feed the font-MODE columns,
 ``la_params`` defaults to ``{"boxes_flow": None}`` and ``all_texts``
 pulls text out of figures; blank pages are skipped; the password is
-forwarded to pdfminer (its ``PDFPasswordIncorrect`` propagates as the
-document's parse error).
+forwarded to pdfminer.  Per-document error isolation: a corrupt PDF or
+wrong password (``PDFPasswordIncorrect``) is dropped from the elements
+output and surfaced as an error row by ``pdf_parse_status`` — it never
+fails the Spark task.
 
 pdfminer.six is NOT installed in this sandbox, so the import is gated:
 ``parse_pdf_bytes`` raises ``NotImplementedError`` with the install hint
@@ -61,21 +63,32 @@ def _pdfminer_extract_pages() -> Callable:
     return run
 
 
-def _is_textbox(el: Any) -> bool:
-    # Duck-typed so injected fakes work without pdfminer classes:
-    # an LTTextBox has bbox coords + get_text + iterates LTTextLines.
-    # With real pdfminer the exact isinstance check is used instead
-    # (reference loaders.py:78).
+def _duck_is_textbox(el: Any) -> bool:
+    # Duck-typed textbox check: an LTTextBox has bbox coords +
+    # get_text + iterates LTTextLines; images/rects don't.
+    return (
+        hasattr(el, "get_text")
+        and hasattr(el, "x0")
+        and not hasattr(el, "stream")
+    )
+
+
+def _make_is_textbox(injected: bool) -> Callable[[Any], bool]:
+    """Pick the textbox predicate ONCE per document parse.
+
+    With an injected ``extract_pages`` (tests, the builtin minipdf
+    fallback) the duck-typed check is used even if pdfminer happens to
+    be importable — an isinstance(LTTextBox) check would silently drop
+    every fake element.  With real pdfminer the exact isinstance check
+    is used (reference loaders.py:78), resolved here rather than per
+    element (no hot-loop import)."""
+    if injected:
+        return _duck_is_textbox
     try:
         from pdfminer.layout import LTTextBox
-
-        return isinstance(el, LTTextBox)
     except ImportError:
-        return (
-            hasattr(el, "get_text")
-            and hasattr(el, "x0")
-            and not hasattr(el, "stream")
-        )
+        return _duck_is_textbox
+    return lambda el: isinstance(el, LTTextBox)
 
 
 def _char_payload(box: Any) -> Tuple[List[str], List[float]]:
@@ -107,6 +120,7 @@ def doc_from_pdf_bytes(
 ) -> Doc:
     """One PDF byte string -> an ordered, classified kernel Doc."""
     run = extract_pages or _pdfminer_extract_pages()
+    is_textbox = _make_is_textbox(injected=extract_pages is not None)
     la = {**DEFAULT_LA_PARAMS, **(la_params or {})}
 
     page_num: List[int] = []
@@ -121,13 +135,13 @@ def doc_from_pdf_bytes(
     page_height: Dict[int, float] = {}
 
     for page in run(data, password, la):
-        boxes = [el for el in page if _is_textbox(el)]
+        boxes = [el for el in page if is_textbox(el)]
         if la.get("all_texts"):
             # Reference loaders.py:80-86: with all_texts, text inside
             # figures is included too.
             for fig in page:
-                if not _is_textbox(fig) and hasattr(fig, "__iter__"):
-                    boxes += [el for el in fig if _is_textbox(el)]
+                if not is_textbox(fig) and hasattr(fig, "__iter__"):
+                    boxes += [el for el in fig if is_textbox(el)]
         if not boxes:
             continue  # reference loaders.py:88-92: skip blank pages
         pid = int(page.pageid)
@@ -163,6 +177,43 @@ def doc_from_pdf_bytes(
     )
 
 
+def _iter_pdf_docs(
+    batch: pa.RecordBatch,
+    bytes_col: str,
+    password_col: Optional[str],
+    la_params: Optional[Dict[str, Any]],
+    config: Optional[dict],
+    extract_pages: Optional[Callable],
+) -> Iterator[Tuple[str, Any]]:
+    """Yield (doc_id, Doc-or-Exception) per PDF in the batch.
+
+    Per-document error isolation: one corrupt PDF (pdfminer
+    PDFSyntaxError, PDFPasswordIncorrect, zlib errors...) must not fail
+    the Spark task and with it the whole job — mirror the DocError
+    handling in the spans parse path (pipeline._iter_docs)."""
+    ids = batch.column("doc_id").to_pylist()
+    datas = batch.column(bytes_col).to_pylist()
+    pwds = (
+        batch.column(password_col).to_pylist()
+        if password_col
+        else [None] * len(ids)
+    )
+    for doc_id, data, pw in zip(ids, datas, pwds):
+        try:
+            yield doc_id, doc_from_pdf_bytes(
+                doc_id,
+                data,
+                password=pw,
+                la_params=la_params,
+                config=config,
+                extract_pages=extract_pages,
+            )
+        except NotImplementedError:
+            raise  # missing extractor is an environment error, not a doc
+        except Exception as err:  # noqa: BLE001 — per-doc isolation
+            yield doc_id, err
+
+
 def parse_pdf_bytes(
     docs_df: DataFrame,
     bytes_col: str = "pdf_bytes",
@@ -175,33 +226,83 @@ def parse_pdf_bytes(
 
     Same output table as ``pipeline.parse_elements`` — every downstream
     operator (filters, geometry, sections, tables, extraction recipes)
-    works unchanged on byte-stream-loaded documents."""
+    works unchanged on byte-stream-loaded documents.  Documents whose
+    parse raises (corrupt bytes, wrong password) are DROPPED here, like
+    the spans path drops DocError docs; use ``pdf_parse_status`` to see
+    which and why."""
     from ..pipeline import pack_elements_batch
     from ..schema import ELEMENTS_SCHEMA
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ids = batch.column("doc_id").to_pylist()
-            datas = batch.column(bytes_col).to_pylist()
-            pwds = (
-                batch.column(password_col).to_pylist()
-                if password_col
-                else [None] * len(ids)
-            )
             yield pack_elements_batch(
-                (
-                    doc_id,
-                    doc_from_pdf_bytes(
-                        doc_id,
-                        data,
-                        password=pw,
-                        la_params=la_params,
-                        config=config,
-                        extract_pages=extract_pages,
-                    ),
+                (doc_id, doc)
+                for doc_id, doc in _iter_pdf_docs(
+                    batch, bytes_col, password_col, la_params, config,
+                    extract_pages,
                 )
-                for doc_id, data, pw in zip(ids, datas, pwds)
+                if not isinstance(doc, Exception)
             )
 
     cols = ["doc_id", bytes_col] + ([password_col] if password_col else [])
     return docs_df.select(*cols).mapInArrow(gen, ELEMENTS_SCHEMA)
+
+
+PDF_STATUS_SCHEMA = (
+    "doc_id string, status string, error string, n_elements long"
+)
+
+_PDF_STATUS_ARROW = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("status", pa.string()),
+        ("error", pa.string()),
+        ("n_elements", pa.int64()),
+    ]
+)
+
+
+def pdf_parse_status(
+    docs_df: DataFrame,
+    bytes_col: str = "pdf_bytes",
+    password_col: Optional[str] = None,
+    la_params: Optional[Dict[str, Any]] = None,
+    config: Optional[dict] = None,
+    extract_pages: Optional[Callable] = None,
+) -> DataFrame:
+    """Per-document parse audit: (doc_id, status ok|error, error,
+    n_elements) — the byte-stream analogue of extract_spans' status
+    columns.  Wrong-password documents show up here as
+    ``PDFPasswordIncorrect`` rows instead of failing the job."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids: List[str] = []
+            statuses: List[str] = []
+            errors: List[Optional[str]] = []
+            counts: List[int] = []
+            for doc_id, doc in _iter_pdf_docs(
+                batch, bytes_col, password_col, la_params, config,
+                extract_pages,
+            ):
+                ids.append(doc_id)
+                if isinstance(doc, Exception):
+                    statuses.append("error")
+                    errors.append(f"{type(doc).__name__}: {doc}")
+                    counts.append(0)
+                else:
+                    statuses.append("ok")
+                    errors.append(None)
+                    counts.append(doc.n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.string()),
+                    pa.array(statuses, type=pa.string()),
+                    pa.array(errors, type=pa.string()),
+                    pa.array(counts, type=pa.int64()),
+                ],
+                schema=_PDF_STATUS_ARROW,
+            )
+
+    cols = ["doc_id", bytes_col] + ([password_col] if password_col else [])
+    return docs_df.select(*cols).mapInArrow(gen, PDF_STATUS_SCHEMA)

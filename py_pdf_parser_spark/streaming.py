@@ -276,6 +276,28 @@ def read_html_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def write_html_batch(
+    batch_df: DataFrame, batch_id: int, output_dir: str
+) -> None:
+    """Idempotent micro-batch writer for ``stream_html_extract``.
+
+    Dynamic-partition-overwrite keyed on batch_id: a replayed batch N
+    rewrites ONLY partition batch_id=N (byte-identical — the block
+    pipeline is deterministic), never appends a second copy."""
+    from pyspark.sql import functions as F
+
+    from .textops.html import content_spans
+
+    (
+        content_spans(batch_df)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
 def stream_html_extract(
     spark: SparkSession,
     input_dir: str,
@@ -289,13 +311,19 @@ def stream_html_extract(
     runs unchanged under Structured Streaming; the only stateful piece
     (the per-doc row_number for span ``seq``) is computed per
     micro-batch under ``foreachBatch`` — correct because a page arrives
-    whole in one file, never split across batches."""
-    from .textops.html import content_spans
+    whole in one file, never split across batches.
 
+    Exactly-once: foreachBatch is at-least-once (a batch retried after
+    a partial write, or replayed from the checkpoint before its commit,
+    runs again), so a blind append would duplicate span rows.  The
+    write is made idempotent by partitioning the output on ``batch_id``
+    and using dynamic partition overwrite — a replay of batch N
+    rewrites ONLY partition batch_id=N, byte-identical, instead of
+    appending a second copy."""
     stream = read_html_stream(spark, input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        content_spans(batch_df).write.mode("append").parquet(output_dir)
+        write_html_batch(batch_df, batch_id, output_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -167,3 +167,43 @@ class TestSparkPlumbing:
             df, password_col="password", extract_pages=fake_extract_pages
         )
         assert out.count() == 4
+
+    def test_per_doc_error_isolation(self, spark):
+        """One corrupt/wrong-password doc must not fail the job: it is
+        dropped from elements and surfaced via pdf_parse_status."""
+        from py_pdf_parser_spark.sources.pdf_bytes import pdf_parse_status
+
+        df = spark.createDataFrame(
+            [
+                ("good", bytearray(b"")),
+                ("locked", bytearray(b"s3cret")),  # fake raises: no pw
+            ],
+            "doc_id string, pdf_bytes binary",
+        )
+        out = parse_pdf_bytes(df, extract_pages=fake_extract_pages)
+        assert sorted(
+            set(r.doc_id for r in out.select("doc_id").collect())
+        ) == ["good"]
+
+        status = {
+            r.doc_id: r
+            for r in pdf_parse_status(
+                df, extract_pages=fake_extract_pages
+            ).collect()
+        }
+        assert status["good"].status == "ok"
+        assert status["good"].n_elements == 4
+        assert status["good"].error is None
+        assert status["locked"].status == "error"
+        assert status["locked"].n_elements == 0
+        assert "password incorrect" in status["locked"].error
+
+    def test_injected_fake_wins_even_if_pdfminer_importable(self):
+        """_make_is_textbox: with an injected extractor the duck-typed
+        predicate is used — never isinstance(LTTextBox), which would
+        silently drop every fake element (r3 ADVICE)."""
+        from py_pdf_parser_spark.sources.pdf_bytes import _make_is_textbox
+
+        pred = _make_is_textbox(injected=True)
+        assert pred(FakeBox(0, 1, 0, 1, "x"))
+        assert not pred(FakeFigure())

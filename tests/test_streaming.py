@@ -229,10 +229,33 @@ def test_stream_html_extract_matches_batch(spark, tmp_path):
     finally:
         query.stop()
 
-    got = sorted(
-        tuple(r) for r in spark.read.parquet(out_dir).collect()
-    )
+    out = spark.read.parquet(out_dir).drop("batch_id")
+    got = sorted(tuple(r) for r in out.collect())
     want = sorted(
         tuple(r) for r in content_spans(spark.read.parquet(src)).collect()
     )
     assert got == want
+
+
+def test_stream_html_extract_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (foreachBatch is at-least-once) must not
+    duplicate span rows: the writer overwrites its batch_id partition."""
+    from py_pdf_parser_spark.streaming import write_html_batch
+    from py_pdf_parser_spark.synth import ensure_html_corpus
+
+    src = ensure_html_corpus(0.001)
+    batch = spark.read.parquet(src)
+    out_dir = str(tmp_path / "html_replay_out")
+
+    write_html_batch(batch, 0, out_dir)
+    first = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    # simulate a checkpoint replay: same batch_id, same input, again
+    write_html_batch(batch, 0, out_dir)
+    second = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert first == second
+    # while a genuinely NEW batch appends its own partition
+    write_html_batch(batch.limit(1), 1, out_dir)
+    n_new = (
+        spark.read.parquet(out_dir).where("batch_id = 1").count()
+    )
+    assert len(second) + n_new == spark.read.parquet(out_dir).count()
