@@ -2624,79 +2624,82 @@ def td_lsh_recall_borderline(spark, sf_dir):
 # ---------------------------------------------------------------------------
 #
 # The driver's CORRECTNESS gate samples the FIRST 50 registry entries in
-# iteration order.  Rotate queries that are new, changed this round, or
-# never driver-verified to the FRONT, and long-stable pp_ filters (green
-# in both r1 and r2) to the tail, so every operator gets a driver row.
+# iteration order.  Ordering rule (oldest-driver-row-first, generalized
+# from r3's hand list per the r3 verdict): queries sort by the round of
+# their most recent green driver row — never-verified/new queries and
+# queries whose implementation was RETOUCHED this round come first
+# (effective round 0), then the stalest rows, then fresh ones — ties in
+# registration order.  _DRIVER_ROW_ROUND is refreshed each round from
+# CORRECTNESS_r{N}.json; _RETOUCHED lists queries whose code paths
+# changed since their last row.
 
-_PRIORITY = [
-    # -- never driver-verified (r2 verdict "What's missing" #1) -----------
-    "td_lsh_candidate_pairs",
-    "td_lsh_pairs_capped",
-    "td_dup_clusters",
-    "td_corpus_prep",
-    "td_simhash_pairs",
-    "td_ngram_jaccard_pairs",
-    "td_jaccard_lsh_verified",
-    "td_exact_dups",
-    "td_dedup_survivors",
-    "td_minhash_signatures",
-    "td_simhash",
-    "td_fingerprint",
-    "td_rolling_fingerprint",
+# Latest round with a green driver row (r1/r2/r3 CORRECTNESS files).
+_DRIVER_ROW_ROUND: Dict[str, int] = {}
+_DRIVER_ROW_ROUND.update(dict.fromkeys([
+    # r2 rows, no row since (the 34 "r2-era" queries of the r3 verdict)
+    "mm_frame_samples", "mm_resize_plan", "pp_above_all_pages",
+    "pp_after", "pp_before", "pp_below_all_pages", "pp_between",
+    "pp_count_per_page", "pp_entirely_within", "pp_filter_by_font",
+    "pp_filter_by_font_size", "pp_filter_by_fonts", "pp_filter_by_page",
+    "pp_filter_by_pages", "pp_filter_out_header_footer",
+    "pp_filter_regex", "pp_filter_text_contains", "pp_filter_text_equal",
+    "pp_filter_udf", "pp_first_last", "pp_font_mapping_regex",
+    "pp_fonts_distinct", "pp_getitem_slice",
+    "pp_horizontally_in_line_with", "pp_media_passthrough",
+    "pp_table_dup_headers", "pp_tag_ignore_flow", "pp_text_raw",
+    "pp_to_the_left_of", "pp_to_the_right_of",
+    "pp_vertically_in_line_with", "td_lang_id", "td_quality_score",
+    "td_token_count",
+], 2))
+_DRIVER_ROW_ROUND.update(dict.fromkeys([
+    # r3 rows (CORRECTNESS_r03.json)
+    "emb_cosine_topk", "emb_dup_pairs", "emb_ivf_multiprobe",
+    "emb_ivf_topk", "emb_lsh_multiprobe", "emb_lsh_topk",
+    "ev_distinct_users", "ev_json_props", "ev_sessionize",
+    "ev_windowed_counts", "html_block_features", "html_content_spans",
+    "html_dedup_main_text", "html_link_stats", "html_main_text",
+    "html_title", "mm_media_features", "pp_colmerge_table",
+    "pp_extract_spans", "pp_font_mode", "pp_gridmerge_table",
+    "pp_memo_extract", "pp_move_backwards", "pp_move_capped",
+    "pp_move_forwards", "pp_ordering_callable", "pp_ordering_custom",
+    "pp_ordering_presets", "pp_ordsum_table", "pp_parse_elements",
+    "pp_section_elements", "pp_sections", "pp_sections_multi",
+    "pp_set_protocol", "pp_set_xor", "pp_table_validation",
+    "td_corpus_prep", "td_dedup_survivors", "td_dup_clusters",
+    "td_exact_dups", "td_fingerprint", "td_jaccard_lsh_verified",
+    "td_lsh_candidate_pairs", "td_lsh_pairs_capped",
+    "td_minhash_signatures", "td_ngram_jaccard_pairs",
+    "td_rolling_fingerprint", "td_simhash", "td_simhash_pairs",
     "td_token_count_bpe",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_ivf_multiprobe",
-    "emb_lsh_topk",
-    "emb_lsh_multiprobe",
-    "emb_dup_pairs",
-    "ev_windowed_counts",
-    "ev_sessionize",
-    "ev_distinct_users",
-    "ev_json_props",
-    # -- new this round (html extraction / fix_cols / validators / set
-    #    protocol) --------------------------------------------------------
-    "html_block_features",
-    "html_main_text",
-    "html_content_spans",
-    "html_title",
-    "html_link_stats",
-    "html_dedup_main_text",
-    "pp_colmerge_table",
-    "pp_table_validation",
-    "pp_set_protocol",
-    # -- touched this round (ordering kernel / move_from / chunk caps) ---
-    "pp_ordering_presets",
-    "pp_ordering_custom",
-    "pp_ordering_callable",
-    "pp_move_capped",
-    "pp_move_forwards",
-    "pp_move_backwards",
-    # -- sentinels for the core surface ----------------------------------
-    "pp_parse_elements",
-    "pp_extract_spans",
-    "pp_memo_extract",
-    "pp_ordsum_table",
-    "pp_font_mode",
-    "pp_gridmerge_table",
-    "pp_sections",
-    "pp_section_elements",
-    "pp_sections_multi",
-    "pp_set_xor",
-    "mm_media_features",
-]
-# Rotated to the tail this round (r1+r2 double-green, untouched):
-# pp_filter_udf, pp_font_mapping_regex, pp_text_raw, pp_getitem_slice,
-# pp_tag_ignore_flow.
+], 3))
+
+# Code paths changed THIS round after their last driver row: force a
+# fresh row even though a green (now-stale) one exists.
+_RETOUCHED = {
+    # MinHash widened to 32 perms / 16 bands (023831c) — every LSH
+    # consumer's result set changes.
+    "td_minhash_signatures", "td_lsh_candidate_pairs",
+    "td_lsh_pairs_capped", "td_dup_clusters", "td_corpus_prep",
+    "td_jaccard_lsh_verified",
+    # font-mode vectorization (r4)
+    "pp_font_mode", "pp_ordsum_table",
+    # numeric HTML entity decoding (r4)
+    "html_block_features", "html_main_text", "html_content_spans",
+    "html_title", "html_link_stats", "html_dedup_main_text",
+}
 
 
 def _reorder_registry() -> None:
-    ordered: Dict[str, Tuple[QueryFn, str]] = {}
-    for name in _PRIORITY:
-        ordered[name] = REGISTRY[name]  # KeyError = stale priority list
-    for name, value in REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = value
+    def effective_round(name: str) -> int:
+        if name in _RETOUCHED:
+            return 0
+        return _DRIVER_ROW_ROUND.get(name, 0)  # new/never-verified -> 0
+
+    order = sorted(
+        enumerate(REGISTRY),  # registration position = tiebreak
+        key=lambda pos_name: (effective_round(pos_name[1]), pos_name[0]),
+    )
+    ordered = {name: REGISTRY[name] for _, name in order}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
