@@ -103,7 +103,21 @@ sh AS (
 
 
 def _ora_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(ensure_oracle_corpus(sf_of_dir(sf_dir)))
+    # _spread BEFORE the per-doc parse kernel: the oracle corpus is a
+    # handful of small parquet files that Spark packs into 1-3 input
+    # partitions, so without it every mapInArrow parse (the engine's
+    # hottest stage — the shared _elements fill plus each custom-config
+    # parse like pp_font_mode/pp_ordering_*) ran on 1-3 cores.
+    # Measured at sf0.1: spread parse 0.67s vs unspread 1.14s warm.
+    key = (spark.sparkContext.applicationId, sf_dir, "__oracle_docs__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _spread(
+        spark.read.parquet(ensure_oracle_corpus(sf_of_dir(sf_dir)))
+    ).persist()
+    _TABLE_CACHE[key] = df
+    return df
 
 
 _ELEMENTS_CACHE: Dict = {}
