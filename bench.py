@@ -603,6 +603,7 @@ def main(quick: bool = False) -> None:
         _events_table,
         _shingle_rows_table,
         _html_table,
+        _html_blocks_table,
         _minhash_wide_table,
         _simhash_table,
     )
@@ -614,6 +615,7 @@ def main(quick: bool = False) -> None:
     _events_table(spark, SF_DIR).count()
     _shingle_rows_table(spark, SF_DIR).count()
     _html_table(spark, SF_DIR).count()
+    _html_blocks_table(spark, SF_DIR).count()
     _minhash_wide_table(spark, SF_DIR).count()
     _simhash_table(spark, SF_DIR).count()
     cache_fill_sec = round(time.time() - t0, 3)

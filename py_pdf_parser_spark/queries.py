@@ -2333,6 +2333,31 @@ def _html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _html_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html_blocks(pages) materialized once per (application, corpus) —
+    the extraction analogue of the _elements / signature tables.  The
+    full-decode branch's plan is expensive to BUILD (~0.4 s of
+    driver-side Catalyst analysis per consuming query, measured — see
+    html.decode_entities_full_expr); persisting the blocks computes
+    AND analyzes it once for the five html_* consumers.  Partitioned
+    by hash(doc_id) so the per-doc aggregates (main_text, link_stats)
+    and the content_spans window plan with no further exchange.
+    Result-identity with the recomputed path is unit-tested
+    (tests/test_html.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__html_blocks__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    parallelism = spark.sparkContext.defaultParallelism
+    df = (
+        html_ops.html_blocks(_html_table(spark, sf_dir))
+        .repartition(parallelism, "doc_id")
+        .persist()
+    )
+    _TABLE_CACHE[key] = df
+    return df
+
+
 def _duck_region_strip(col: str) -> str:
     expr = f"regexp_replace({col}, '{html_ops.COMMENT_RE}', '', 'g')"
     for tag in html_ops.REGION_TAGS:
@@ -2341,37 +2366,107 @@ def _duck_region_strip(col: str) -> str:
     return expr
 
 
-def _duck_visible(col: str) -> str:
-    out = f"regexp_replace({col}, '{html_ops.TAG_RE}', '', 'g')"
-    for ent, rep in html_ops.ENTITIES:
+def _duck_chr_guarded(cp: str) -> str:
+    # html.py _codepoint_char mirror: NUL / surrogates / > 0x10FFFF
+    # decode to U+FFFD; DuckDB chr() is full-unicode so no UTF-8 byte
+    # assembly is needed on this side.
+    return (
+        f"CASE WHEN {cp} = 0 OR {cp} BETWEEN 55296 AND 57343"
+        f" OR {cp} > 1114111 THEN chr(65533)"
+        f" ELSE chr(CAST({cp} AS INT)) END"
+    )
+
+
+def _duck_decode_entities_full(col: str) -> str:
+    # html.py decode_entities_full_expr mirror: one left-to-right pass
+    # over the shared ENT_RE grammar — split keeps trailing empties in
+    # DuckDB, so segments == entities + 1 and the interleave below is
+    # seg1 || ent1 || seg2 || ... || segN (1-indexed lists).
+    named = " ".join(
+        f"WHEN e = '{name}' THEN '{rep.replace(chr(39), chr(39) * 2)}'"
+        for name, rep in html_ops.NAMED_ENTITIES
+    )
+    dec_cp = "CAST(substr(e, 2) AS BIGINT)"
+    hex_cp = "CAST(('0x' || substr(e, 3)) AS BIGINT)"
+    decode_one = (
+        "CASE"
+        f" WHEN substr(e, 1, 2) IN ('#x', '#X')"
+        f" THEN {_duck_chr_guarded(hex_cp)}"
+        f" WHEN substr(e, 1, 1) = '#' THEN {_duck_chr_guarded(dec_cp)}"
+        f" {named} END"
+    )
+    # Oracle SQL strings pass through str.format (corpus-path
+    # placeholders), so the regex repeat braces must be doubled.
+    ent_re = html_ops.ENT_RE.replace("{", "{{").replace("}", "}}")
+    return (
+        "array_to_string(list_transform("
+        f"string_split_regex({col}, '{ent_re}'), (seg, i) -> seg || "
+        f"coalesce(list_transform(regexp_extract_all({col}, '{ent_re}',"
+        f" 1), e -> {decode_one})[i], '')), '')"
+    )
+
+
+def _duck_decode_entities_chain(col: str) -> str:
+    # html.py decode_entities_chain mirror.
+    out = col
+    for ent, rep in html_ops.FAST_ENTITIES:
         rep_sql = rep.replace("'", "''")
         out = f"replace({out}, '{ent}', '{rep_sql}')"
+    return out
+
+
+def _duck_needs_full(col: str = "html") -> str:
+    # html.needs_full_decode_expr mirror: one-pass deletion of the
+    # fast numeric literals (FAST_NUMERIC_ALT_RE) + surviving "&#"
+    # check, short-circuited by a plain contains.
+    return (
+        f"(contains({col}, '&#') AND contains(regexp_replace("
+        f"{col}, '{html_ops.FAST_NUMERIC_ALT_RE}', '', 'g'), '&#'))"
+    )
+
+
+_DUCK_NEEDS_FULL = _duck_needs_full()
+
+
+def _duck_visible(col: str, nf_col: str = "FALSE") -> str:
+    # html.py visible_text_expr mirror.  ``nf_col`` is the PAGE-level
+    # needs_full_decode boolean (computed once per page from the raw
+    # html, exactly like the Spark side's DataFrame routing) so both
+    # engines pick the decode flavor for a page's blocks identically.
+    stripped = f"regexp_replace({col}, '{html_ops.TAG_RE}', '', 'g')"
+    out = (
+        f"CASE WHEN {nf_col}"
+        f" THEN {_duck_decode_entities_full(stripped)}"
+        f" ELSE {_duck_decode_entities_chain(stripped)} END"
+    )
     return f"trim(regexp_replace({out}, '{html_ops.WS_RE}', ' ', 'g'))"
 
 
 def _html_blocks_cte() -> str:
     return f"""
 WITH pages AS (
-  SELECT doc_id, html FROM read_parquet('{{html_path}}/*.parquet')
+  SELECT doc_id, html, {_DUCK_NEEDS_FULL} AS nf
+  FROM read_parquet('{{html_path}}/*.parquet')
 ), stripped AS (
-  SELECT doc_id, {_duck_region_strip("html")} AS s FROM pages
+  SELECT doc_id, nf, {_duck_region_strip("html")} AS s FROM pages
 ), seg AS (
-  SELECT doc_id, string_split_regex(s, '{html_ops.BLOCK_SPLIT_RE}') AS bl
+  SELECT doc_id, nf, string_split_regex(s, '{html_ops.BLOCK_SPLIT_RE}') AS bl
   FROM stripped
 ), blk0 AS (
-  SELECT doc_id,
+  SELECT doc_id, nf,
          CAST(unnest(generate_series(1, len(bl))) - 1 AS BIGINT) AS block_idx,
          unnest(bl) AS raw
   FROM seg
 ), blk1 AS (
-  SELECT doc_id, block_idx, raw, {_duck_visible("raw")} AS text FROM blk0
+  SELECT doc_id, nf, block_idx, raw, {_duck_visible("raw", "nf")} AS text
+  FROM blk0
 ), blocks AS (
   SELECT doc_id, block_idx, raw, text,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
          CAST(COALESCE(list_sum(list_transform(
              regexp_extract_all(raw, '{html_ops.ANCHOR_RE}', 1),
-             a -> length({_duck_visible("a")}))), 0) AS BIGINT) AS link_chars
+             a -> length({_duck_visible("a", "nf")}))), 0) AS BIGINT) AS link_chars
   FROM blk1 WHERE text <> ''
 ), feat AS (
   SELECT *, link_chars / n_chars AS link_density,
@@ -2392,7 +2487,10 @@ FROM feat""",
 def html_block_features(spark, sf_dir):
     """Block segmentation + text statistics: the boilerplate
     classifier's evidence table, exported per block."""
-    return html_ops.block_features(_html_table(spark, sf_dir))
+    return html_ops.block_features(
+        _html_table(spark, sf_dir),
+        blocks=_html_blocks_table(spark, sf_dir),
+    )
 
 
 @q(
@@ -2412,7 +2510,10 @@ FROM feat GROUP BY doc_id""",
 )
 def html_main_text(spark, sf_dir):
     """Boilerplate-stripped main text per page (block-ordered)."""
-    return html_ops.main_text(_html_table(spark, sf_dir))
+    return html_ops.main_text(
+        _html_table(spark, sf_dir),
+        blocks=_html_blocks_table(spark, sf_dir),
+    )
 
 
 @q(
@@ -2444,18 +2545,22 @@ FROM unioned""",
 def html_content_spans(spark, sf_dir):
     """Main content as ordered (kind, text, media_ref, order) spans —
     the engine's canonical extraction output, from HTML input."""
-    return html_ops.content_spans(_html_table(spark, sf_dir))
+    return html_ops.content_spans(
+        _html_table(spark, sf_dir),
+        blocks=_html_blocks_table(spark, sf_dir),
+    )
 
 
 @q(
     "html_title",
     f"""
 WITH pages AS (
-  SELECT doc_id, html FROM read_parquet('{{html_path}}/*.parquet')
+  SELECT doc_id, html, {_DUCK_NEEDS_FULL} AS nf
+  FROM read_parquet('{{html_path}}/*.parquet')
 )
 SELECT doc_id,
-       {_duck_visible(f"COALESCE(regexp_extract(html, '{html_ops.TITLE_RE}', 1), '')")} AS title,
-       {_duck_visible(f"COALESCE(regexp_extract(html, '{html_ops.H1_RE}', 1), '')")} AS h1
+       {_duck_visible(f"COALESCE(regexp_extract(html, '{html_ops.TITLE_RE}', 1), '')", "nf")} AS title,
+       {_duck_visible(f"COALESCE(regexp_extract(html, '{html_ops.H1_RE}', 1), '')", "nf")} AS h1
 FROM pages""",
 )
 def html_title(spark, sf_dir):
@@ -2486,7 +2591,10 @@ def html_dedup_main_text(spark, sf_dir):
     The synthesized corpus has real duplicate structure: content is
     period-180 in doc number."""
     return dedup.dedup_survivors(
-        html_ops.as_documents(_html_table(spark, sf_dir))
+        html_ops.as_documents(
+            _html_table(spark, sf_dir),
+            blocks=_html_blocks_table(spark, sf_dir),
+        )
     )
 
 
@@ -2505,7 +2613,10 @@ FROM feat GROUP BY doc_id""",
 )
 def html_link_stats(spark, sf_dir):
     """Per-page DOM/link statistics over all non-empty blocks."""
-    return html_ops.link_stats(_html_table(spark, sf_dir))
+    return html_ops.link_stats(
+        _html_table(spark, sf_dir),
+        blocks=_html_blocks_table(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -231,6 +231,19 @@ def _html_sentence(i: int, para: int, n_words: int) -> str:
         del words[3]
     if (i + para) % 9 == 0 and len(words) >= 2:
         words[1] = words[1] + "&#39;s"  # decodes to apostrophe
+    # All injection moduli divide 180 so the main-content period-180
+    # duplicate structure (html_dedup_main_text's oracle) is preserved.
+    if (i + para) % 12 == 3 and len(words) >= 3:
+        # common numeric refs (curly quote, e-acute): stay on the
+        # codegen fast chain (html.FAST_NUMERIC_ENTITIES)
+        words[2] = words[2] + "&#8217;s"
+    if (i + para) % 10 == 5:
+        words[0] = "caf&#233;"
+    if i % 36 == 0 and para == 0 and len(words) >= 2:
+        # exotic hex ref: routes the whole page down the interpreted
+        # full-decode branch (html.needs_full_decode_expr) — ~2.8%
+        # of pages, so both plan branches are exercised end to end
+        words[1] = "snow&#x2603;man"
     return " ".join(words)
 
 

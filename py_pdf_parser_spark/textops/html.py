@@ -23,7 +23,11 @@ Every op is a pure Column-expression pipeline: Java-regex + string
 builtins only, JVM-side, whole-stage-codegen, zero shuffle up to the
 per-document aggregation.  Patterns avoid backreferences and lookahead
 so the exact same regex text runs identically on Java regex (Spark) and
-RE2 (DuckDB oracle).
+RE2 (DuckDB oracle).  The exotic-entity decoder on the rare routed
+slice (decode_entities_full_expr) is the one deliberately heavy
+expression: its plan-analysis cost dominates its execution, so
+consumers share one materialized blocks table per corpus instead of
+re-building the plan per query (see its docstring).
 
 At 100 TB: the block pipeline is a narrow map over the page scan —
 scales with input splits; the only shuffle is the per-doc aggregate of
@@ -34,7 +38,7 @@ map-side complete within a document).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -53,16 +57,74 @@ TITLE_RE = r"(?is)<title\b[^>]*>(.*?)</title>"
 H1_RE = r"(?is)<h1\b[^>]*>(.*?)</h1>"
 WS_RE = r"\s+"
 
-# One entity decoded per occurrence, in this order (&amp; strictly last
-# so already-escaped entities decode exactly once).
-ENTITIES: List[Tuple[str, str]] = [
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&#39;", "'"),
-    ("&nbsp;", " "),
-    ("&amp;", "&"),
+# Entity decoding is a SINGLE left-to-right pass over the combined
+# grammar below (named + numeric decimal/hex char refs) — one entity
+# decoded per occurrence, and a decoded character can never complete a
+# later entity (so ``&amp;#65;`` yields the literal ``&#65;`` and
+# ``&#38;lt;`` the literal ``&lt;``, matching html.unescape).
+# Documented divergences from WHATWG/html.unescape, shared by the Spark
+# and DuckDB implementations: semicolon-less forms and entities beyond
+# this table stay literal; ``&nbsp;`` maps to a plain space (it is
+# whitespace-collapsed right after); no C1 control remapping; numeric
+# refs are capped at 7 decimal / 6 hex digits (longer stays literal).
+# NUL, surrogates and codepoints above 0x10FFFF decode to U+FFFD.
+NAMED_ENTITIES: List[Tuple[str, str]] = [
+    ("lt", "<"),
+    ("gt", ">"),
+    ("quot", '"'),
+    ("nbsp", " "),
+    ("amp", "&"),
 ]
+# RE2-safe (no lookahead/backrefs): runs identically on Java regex and
+# DuckDB.  Group 1 is the entity body ("lt", "#65", "#x1F4A9", ...).
+ENT_RE = (
+    r"&(#[xX][0-9a-fA-F]{1,6}|#[0-9]{1,7}|"
+    + "|".join(name for name, _ in NAMED_ENTITIES)
+    + r");"
+)
+# Numeric refs common enough on the real web to earn a literal slot in
+# the codegen fast chain (decode_entities_chain) — true codepoints.
+# SAFETY RULE for membership: the replacement character must not be
+# able to create or complete another entity token, so nothing that
+# decodes to '&', '#' or ';' (e.g. &#38;) may ever be added — those
+# route to the single-pass full decoder via needs_full_decode_expr.
+# This list is a deployment tuning surface: extend it with a corpus'
+# own most frequent refs to keep its pages on the codegen path.
+FAST_NUMERIC_ENTITIES: List[Tuple[str, str]] = [
+    ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&#160;", " "),
+    ("&#8216;", "‘"),
+    ("&#8217;", "’"),
+    ("&#8220;", "“"),
+    ("&#8221;", "”"),
+    ("&#8211;", "–"),
+    ("&#8212;", "—"),
+    ("&#8230;", "…"),
+    ("&#8364;", "€"),
+    ("&#233;", "é"),
+]
+# The codegen fast-path replace chain (see decode_entities_chain):
+# named entities, then the common numeric refs, &amp; strictly last.
+FAST_ENTITIES: List[Tuple[str, str]] = (
+    [(f"&{name};", rep) for name, rep in NAMED_ENTITIES if name != "amp"]
+    + FAST_NUMERIC_ENTITIES
+    + [("&amp;", "&")]
+)
+# One-pass deletion regex for every fast numeric literal (the routing
+# guard): each alternative must be followed by the literal ';' so at
+# any position at most ONE alternative can complete — leftmost-first
+# (Java) and leftmost-longest (RE2/DuckDB) therefore agree, and a
+# match consumes exactly one fast literal (it can never swallow the
+# "&#" of a longer, exotic ref).
+FAST_NUMERIC_ALT_RE = (
+    "&#(" + "|".join(e[2:-1] for e, _ in FAST_NUMERIC_ENTITIES) + ");"
+)
+assert all(
+    e.startswith("&#") and e.endswith(";") and e[2:-1].isdigit()
+    for e, _ in FAST_NUMERIC_ENTITIES
+), "guard regex derivation assumes decimal &#N; literals"
+_FFFD = "�"
 
 MIN_CONTENT_CHARS = 30  # visible chars a block needs to count as content
 # Max link density as an exact rational: content iff link_chars * LINK_DEN
@@ -80,31 +142,169 @@ def region_strip_expr(col: Column) -> Column:
     return out
 
 
-def visible_text_expr(col: Column) -> Column:
-    """Tags stripped, entities decoded (once), whitespace collapsed."""
-    out = F.regexp_replace(col, TAG_RE, "")
-    for ent, rep in ENTITIES:
+def _codepoint_char(cp: Column) -> Column:
+    """Codepoint (long) -> single-character string; invalid -> U+FFFD.
+
+    Spark has no full-unicode ``chr`` (builtin ``chr`` is mod-256
+    ASCII), so the character's UTF-8 encoding is computed as ONE
+    integer per length class (the byte values packed base-256), hexed,
+    and decoded — a single unhex/decode for all branches.  The tree is
+    kept deliberately small: this expression is instantiated once per
+    decoded entity position and Catalyst ANALYSIS time (driver-side,
+    per query build) scales with total node count — an earlier
+    per-byte lpad(hex(..)) assembly made plan analysis of the html
+    branch cost ~0.7 s per build, dwarfing its actual execution."""
+    hexstr = (
+        F.when(
+            (cp == 0)
+            | ((cp >= 0xD800) & (cp <= 0xDFFF))
+            | (cp > 0x10FFFF),
+            F.lit("EFBFBD"),  # U+FFFD replacement character
+        )
+        .when(cp < 0x80, F.lpad(F.hex(cp), 2, "0"))
+        .when(
+            cp < 0x800,
+            F.hex(
+                (F.shiftright(cp, 6) + 192) * 256
+                + cp.bitwiseAND(63) + 128
+            ),
+        )
+        .when(
+            cp < 0x10000,
+            F.hex(
+                (F.shiftright(cp, 12) + 224) * 65536
+                + (F.shiftright(cp, 6).bitwiseAND(63) + 128) * 256
+                + cp.bitwiseAND(63) + 128
+            ),
+        )
+        .otherwise(
+            F.hex(
+                (F.shiftright(cp, 18) + 240) * 16777216
+                + (F.shiftright(cp, 12).bitwiseAND(63) + 128) * 65536
+                + (F.shiftright(cp, 6).bitwiseAND(63) + 128) * 256
+                + cp.bitwiseAND(63) + 128
+            )
+        )
+    )
+    return F.decode(F.unhex(hexstr), "UTF-8")
+
+
+def _decode_entity(e: Column) -> Column:
+    """One matched entity body ("lt" / "#65" / "#x41") -> its character.
+
+    Named entities first (cheap equality chain), then a SINGLE
+    _codepoint_char over the numeric value — hex and decimal parse
+    into one shared codepoint expression rather than two decoder
+    subtrees (analysis-time economy, see _codepoint_char)."""
+    cp = F.when(
+        F.substring(e, 1, 2).isin("#x", "#X"),
+        F.conv(e.substr(F.lit(3), F.length(e)), 16, 10).cast("long"),
+    ).otherwise(e.substr(F.lit(2), F.length(e)).cast("long"))
+    (name0, rep0), *rest = NAMED_ENTITIES
+    out = F.when(e == name0, F.lit(rep0))
+    for name, rep in rest:
+        out = out.when(e == name, F.lit(rep))
+    return out.otherwise(_codepoint_char(cp))
+
+
+def decode_entities_chain(col: Column) -> Column:
+    """Fast decode: the sequential replace chain over the named
+    entities plus ``&#39;`` (the apostrophe — by far the most frequent
+    numeric ref in web text), &amp; strictly last.  Pure string
+    builtins, stays inside whole-stage codegen.
+
+    Equivalent to the single pass (decode_entities_full_expr) on text
+    whose only numeric refs are ``&#39;``: entity tokens are disjoint
+    (one "&", terminal ";"), each replacement is a single character
+    that appears in no entity body, and Spark's replace continues
+    after a replacement without rescanning it — so neither path can
+    decode text produced by an earlier decode."""
+    out = col
+    for ent, rep in FAST_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
+
+def decode_entities_full_expr(col: Column) -> Column:
+    """Single-pass entity decode over the full ENT_RE grammar.
+
+    Split on the combined entity pattern (limit -1 keeps a trailing
+    empty segment, so segments == entities + 1), decode each matched
+    entity, and interleave seg0 + ent0 + seg1 + ... + segN.  A decoded
+    character lands between segments and is never rescanned — exactly
+    one decoding pass, like html.unescape.
+
+    COST NOTE, measured: this tree's dominant cost is at PLAN time,
+    not run time — driver-side Catalyst analysis of a query containing
+    it takes ~0.3-0.5 s per build (vs ~0.15 s for the chain-only fast
+    branch; execution of the already-built plan over the full sf0.1
+    routed slice was ~0.3 s), and being CodegenFallback via the HOFs
+    it disables whole-stage codegen for its entire projection (+70% on
+    main_text even in a never-taken CASE branch).  Consequences, both
+    applied by callers: (a) never put it in an always-on column —
+    html_blocks routes pages so only the exotic slice carries it; (b)
+    don't rebuild the plan per consuming query — the bench/driver
+    layer materializes one shared blocks table per corpus
+    (parse-once-query-many, like the elements/signature tables)."""
+    segs = F.split(col, ENT_RE, -1)
+    ents = F.regexp_extract_all(col, F.lit(ENT_RE), F.lit(1))
+    padded = F.concat(F.transform(ents, _decode_entity), F.array(F.lit("")))
+    return F.array_join(
+        F.zip_with(segs, padded, lambda s, d: F.concat(s, d)), ""
+    )
+
+
+def needs_full_decode_expr(col: Column) -> Column:
+    """True iff ``col`` may contain a numeric char ref outside
+    FAST_NUMERIC_ENTITIES: delete every fast numeric literal (ONE
+    regex pass over FAST_NUMERIC_ALT_RE, not a per-literal replace
+    chain) and look for a surviving "&#".  Deleting can only CREATE a
+    "&#" junction (false positive — full path, still correct), never
+    destroy another ref's "&#" (a match is exactly a fast literal, and
+    entity tokens cannot overlap).  The leading contains() lets pages
+    with no numeric ref at all skip the regex pass entirely (Spark's
+    And short-circuits in generated code), which is the common case on
+    clean web text."""
+    return F.contains(col, F.lit("&#")) & F.contains(
+        F.regexp_replace(col, FAST_NUMERIC_ALT_RE, ""), F.lit("&#")
+    )
+
+
+def visible_text_expr(col: Column, full_decode: bool = False) -> Column:
+    """Tags stripped, entities decoded (once), whitespace collapsed.
+
+    The decode flavor is a compile-time choice, not a per-row CASE.
+    Two reasons, both measured: (a) a projection that merely CONTAINS
+    the HOF decoder loses whole-stage codegen for every row (+70% on
+    main_text with the decoder in a never-taken CASE branch), and (b)
+    a per-string CASE doubles the expression tree, and driver-side
+    plan ANALYSIS time scales with node count (see
+    decode_entities_full_expr).  Callers split the corpus with
+    needs_full_decode_expr and build one plan branch per flavor (see
+    html_blocks)."""
+    out = F.regexp_replace(col, TAG_RE, "")
+    out = (
+        decode_entities_full_expr(out)
+        if full_decode
+        else decode_entities_chain(out)
+    )
     return F.trim(F.regexp_replace(out, WS_RE, " "))
 
 
-def _link_chars(raw: Column) -> Column:
+def _link_chars(raw: Column, full_decode: bool = False) -> Column:
     anchors = F.regexp_extract_all(raw, F.lit(ANCHOR_RE), F.lit(1))
     return F.aggregate(
-        F.transform(anchors, lambda a: F.length(visible_text_expr(a))),
+        F.transform(
+            anchors, lambda a: F.length(visible_text_expr(a, full_decode))
+        ),
         F.lit(0),
         lambda acc, x: acc + x,
     )
 
 
-def html_blocks(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """Segment pages into indexed blocks with text statistics.
-
-    Output: (doc_id, block_idx, raw, text, n_chars, n_words, link_chars,
-    link_density, is_content) — one row per block with non-empty visible
-    text; ``block_idx`` indexes the pre-filter segmentation so it is
-    stable under threshold changes.
-    """
+def _html_blocks_branch(
+    pages: DataFrame, html_col: str, full_decode: bool
+) -> DataFrame:
     stripped = region_strip_expr(F.col(html_col))
     blocks = pages.select(
         "doc_id",
@@ -112,14 +312,16 @@ def html_blocks(pages: DataFrame, html_col: str = "html") -> DataFrame:
             "block_idx", "raw"
         ),
     )
-    blocks = blocks.withColumn("text", visible_text_expr(F.col("raw")))
+    blocks = blocks.withColumn(
+        "text", visible_text_expr(F.col("raw"), full_decode)
+    )
     blocks = blocks.filter(F.col("text") != "")
     blocks = blocks.withColumn(
         "n_chars", F.length("text").cast("long")
     ).withColumn(
         "n_words", F.size(F.split(F.col("text"), " ", -1)).cast("long")
     ).withColumn(
-        "link_chars", _link_chars(F.col("raw")).cast("long")
+        "link_chars", _link_chars(F.col("raw"), full_decode).cast("long")
     )
     return blocks.withColumn(
         "link_density",
@@ -131,9 +333,37 @@ def html_blocks(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
-def block_features(pages: DataFrame) -> DataFrame:
-    """Per-block feature table (the classifier's evidence, exported)."""
-    return html_blocks(pages).select(
+def html_blocks(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Segment pages into indexed blocks with text statistics.
+
+    Output: (doc_id, block_idx, raw, text, n_chars, n_words, link_chars,
+    link_density, is_content) — one row per block with non-empty visible
+    text; ``block_idx`` indexes the pre-filter segmentation so it is
+    stable under threshold changes.
+
+    Two plan branches, routed per page by needs_full_decode_expr and
+    unioned: pages that cannot contain an exotic numeric char ref (the
+    overwhelming majority) keep the pure whole-stage-codegen pipeline;
+    only pages that might pay the interpreted single-pass decoder.
+    Both branches are narrow maps over the page scan — the union adds
+    no shuffle, and a page's blocks stay together in one branch."""
+    needs = needs_full_decode_expr(F.col(html_col))
+    fast = _html_blocks_branch(pages.filter(~needs), html_col, False)
+    slow = _html_blocks_branch(pages.filter(needs), html_col, True)
+    return fast.unionByName(slow)
+
+
+def block_features(
+    pages: DataFrame, blocks: Optional[DataFrame] = None
+) -> DataFrame:
+    """Per-block feature table (the classifier's evidence, exported).
+
+    ``blocks``: a precomputed/materialized html_blocks(pages) — the
+    parse-once-query-many hook (the decode plan is expensive to BUILD,
+    see decode_entities_full_expr; a corpus-shared persisted blocks
+    table pays it once).  Result-identity with the recomputed path is
+    unit-tested."""
+    return (blocks if blocks is not None else html_blocks(pages)).select(
         "doc_id",
         F.col("block_idx").cast("long").alias("block_idx"),
         "text",
@@ -145,10 +375,13 @@ def block_features(pages: DataFrame) -> DataFrame:
     )
 
 
-def main_text(pages: DataFrame) -> DataFrame:
+def main_text(
+    pages: DataFrame, blocks: Optional[DataFrame] = None
+) -> DataFrame:
     """Per-document main content, block-ordered and newline-joined,
-    plus the content/boilerplate block split and content size."""
-    blocks = html_blocks(pages)
+    plus the content/boilerplate block split and content size.
+    ``blocks``: precomputed html_blocks (see block_features)."""
+    blocks = blocks if blocks is not None else html_blocks(pages)
     content_struct = F.when(
         F.col("is_content"), F.struct("block_idx", "text")
     )  # null when boilerplate -> collect_list drops it
@@ -172,7 +405,9 @@ def main_text(pages: DataFrame) -> DataFrame:
     )
 
 
-def content_spans(pages: DataFrame) -> DataFrame:
+def content_spans(
+    pages: DataFrame, blocks: Optional[DataFrame] = None
+) -> DataFrame:
     """Main content as ordered spans — the engine's canonical output
     shape (kind, text, media_ref, order).
 
@@ -180,7 +415,9 @@ def content_spans(pages: DataFrame) -> DataFrame:
     appearance) as ``media`` spans followed by one ``text`` span;
     ``seq`` numbers the spans within the document.
     """
-    blocks = html_blocks(pages).filter(F.col("is_content"))
+    blocks = (
+        blocks if blocks is not None else html_blocks(pages)
+    ).filter(F.col("is_content"))
     blocks = blocks.withColumn(
         "img_refs", F.regexp_extract_all(F.col("raw"), F.lit(IMG_SRC_RE), F.lit(1))
     )
@@ -214,30 +451,45 @@ def content_spans(pages: DataFrame) -> DataFrame:
     )
 
 
-def as_documents(pages: DataFrame) -> DataFrame:
+def as_documents(
+    pages: DataFrame, blocks: Optional[DataFrame] = None
+) -> DataFrame:
     """Extracted pages as a (doc_id, text) documents table — the bridge
     from the extraction surface into the corpus-prep operators (dedup,
     quality, token counts run unchanged on crawled HTML)."""
-    return main_text(pages).select("doc_id", F.col("main_text").alias("text"))
-
-
-def titles(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """<title> and first <h1> per page (entity-decoded, normalized)."""
-
-    def _one(pattern: str) -> Column:
-        inner = F.regexp_extract(F.col(html_col), pattern, 1)
-        return visible_text_expr(inner)
-
-    return pages.select(
-        "doc_id",
-        _one(TITLE_RE).alias("title"),
-        _one(H1_RE).alias("h1"),
+    return main_text(pages, blocks).select(
+        "doc_id", F.col("main_text").alias("text")
     )
 
 
-def link_stats(pages: DataFrame) -> DataFrame:
-    """Per-document DOM/link statistics over all (non-empty) blocks."""
-    blocks = html_blocks(pages)
+def titles(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """<title> and first <h1> per page (entity-decoded, normalized).
+
+    Same page-level fast/full routing as html_blocks."""
+
+    def _branch(df: DataFrame, full_decode: bool) -> DataFrame:
+        def _one(pattern: str) -> Column:
+            inner = F.regexp_extract(F.col(html_col), pattern, 1)
+            return visible_text_expr(inner, full_decode)
+
+        return df.select(
+            "doc_id",
+            _one(TITLE_RE).alias("title"),
+            _one(H1_RE).alias("h1"),
+        )
+
+    needs = needs_full_decode_expr(F.col(html_col))
+    return _branch(pages.filter(~needs), False).unionByName(
+        _branch(pages.filter(needs), True)
+    )
+
+
+def link_stats(
+    pages: DataFrame, blocks: Optional[DataFrame] = None
+) -> DataFrame:
+    """Per-document DOM/link statistics over all (non-empty) blocks.
+    ``blocks``: precomputed html_blocks (see block_features)."""
+    blocks = blocks if blocks is not None else html_blocks(pages)
     return blocks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
         F.sum(F.when(F.col("is_content"), 1).otherwise(0))

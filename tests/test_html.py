@@ -71,6 +71,30 @@ class TestEntities:
         [row] = _blocks(spark, html)
         assert row["text"] == "alpha bravo charlie delta echo foxtrot"
 
+    def test_numeric_entities_decimal_and_hex(self, spark):
+        html = (
+            "<p>&#65;&#x41;&#X41; caf&#233; &#x1F4A9; snowman&#9731;"
+            " padding words here</p>"
+        )
+        [row] = _blocks(spark, html)
+        assert row["text"] == (
+            "AAA café 💩 snowman☃ padding words here"
+        )
+
+    def test_numeric_entities_single_pass_and_invalid(self, spark):
+        # &amp;#65; -> literal &#65;; &#38;lt; -> literal &lt; (the
+        # decoded '&' is never rescanned).  NUL / surrogate / beyond
+        # U+10FFFF -> U+FFFD; malformed refs stay literal.
+        html = (
+            "<p>&amp;#65; &#38;lt; &#0; &#xD800; &#1114112;"
+            " &#; &#x; &#xg1; &#12345678; filler filler</p>"
+        )
+        [row] = _blocks(spark, html)
+        assert row["text"] == (
+            "&#65; &lt; � � �"
+            " &#; &#x; &#xg1; &#12345678; filler filler"
+        )
+
 
 class TestLinkDensity:
     def test_link_farm_is_boilerplate(self, spark):
@@ -176,3 +200,42 @@ class TestPlanShape:
         df = H.main_text(_pages(spark, [("d", "<p>x</p>")]))
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestSharedBlocksTable:
+    """Precomputed-blocks threading (the persisted html_blocks table the
+    queries layer shares across the html_* consumers) must be
+    result-identical to each consumer computing its own blocks — the
+    same guarantee the shared shingle/signature tables carry."""
+
+    def _corpus(self, spark):
+        rows = []
+        for i in range(12):
+            body = (
+                f"<head><title>T{i} &#8212; site</title></head>"
+                f"<p>alpha{i} bravo charlie delta echo foxtrot golf "
+                f"hotel india juliet kilo &#39;quoted&#39;</p>"
+                f"<p><a href='/x'>nav nav nav nav nav nav nav nav</a></p>"
+                + (f"<p>exotic snow&#x2603;man content with many filler "
+                   f"words to pass the length gate {i}</p>"
+                   if i % 3 == 0 else "")
+            )
+            rows.append((f"d{i}", body))
+        return _pages(spark, rows)
+
+    def test_consumers_match_with_and_without_shared_blocks(self, spark):
+        pages = self._corpus(spark)
+        blocks = H.html_blocks(pages).persist()
+        try:
+            for fn in (
+                H.block_features,
+                H.main_text,
+                H.content_spans,
+                H.link_stats,
+                H.as_documents,
+            ):
+                alone = {tuple(x) for x in fn(pages).collect()}
+                shared = {tuple(x) for x in fn(pages, blocks).collect()}
+                assert alone == shared and alone
+        finally:
+            blocks.unpersist()

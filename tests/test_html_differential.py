@@ -19,7 +19,12 @@ from py_pdf_parser_spark.textops import html as H  # noqa: E402
 
 WORDS = ["aqua", "brine", "coral", "dune", "ember", "fjord", "gale",
          "heath", "isle", "jetty"]
-ENTS = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;lt;"]
+ENTS = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;lt;",
+        # numeric char refs: plain / hex / supplementary-plane /
+        # double-escaped / invalid-codepoint / malformed-stays-literal
+        "&#65;", "&#233;", "&#x41;", "&#X1F4A9;", "&#9731;",
+        "&amp;#65;", "&#38;lt;", "&#0;", "&#xD800;", "&#1114112;",
+        "&#;", "&#x;", "&#xg1;", "&#12345678;", "&# 65;"]
 BLOCK_TAGS = ["p", "div", "li", "h1", "h2", "h3", "blockquote", "td",
               "table", "ul"]
 REGION_TAGS = ["nav", "header", "footer", "aside", "script", "style"]
