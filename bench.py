@@ -496,7 +496,7 @@ def _write_baseline_md(
         "Steady-state operator cost under the parse-once-query-many "
         "deployment shape: the clustered elements persist (the in-memory "
         "analogue of the bucketed elements table), the three spread "
-        "driver tables, the html page table, and the shared "
+        "driver tables, the html page + extracted-blocks tables, and the shared "
         "shingle-rows / MinHash-wide / SimHash signature tables (the "
         "materialized-table analogues a deployment writes next to the "
         "corpus) are filled once per session — "
