@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "td_dup_clusters",
     "td_corpus_prep",
     "td_jaccard_borderline",
+    "td_repetition_stats",
+    "td_pii_scrub",
 ]
 
 

@@ -27,6 +27,7 @@ from .synth import (
     ensure_family_corpus,
     ensure_html_corpus,
     ensure_oracle_corpus,
+    ensure_pii_corpus,
     oracle_corpus_path,
     sf_of_dir,
 )
@@ -1621,6 +1622,107 @@ def td_fingerprint(spark, sf_dir):
     return analysis.fingerprint(_docs_table(spark, sf_dir))
 
 
+# -- corpus-prep filters (Gopher/C4-style rules) -------------------------------
+
+
+def _dd(pat: str) -> str:
+    """Double regex braces for oracle SQLs (they pass through .format)."""
+    return pat.replace("{", "{{").replace("}", "}}")
+
+
+@q(
+    "td_repetition_stats",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wc AS (SELECT doc_id, max(c) AS top_word FROM (
+         SELECT doc_id, word, count(*) AS c
+         FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY 1, 2)
+       GROUP BY 1),
+bg AS (SELECT doc_id,
+              CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1]) END AS b
+       FROM t),
+bc AS (SELECT doc_id, max(c) AS top_bigram FROM (
+         SELECT doc_id, bigram, count(*) AS c
+         FROM (SELECT doc_id, unnest(b) AS bigram FROM bg) GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(t.w)) AS BIGINT) AS n_distinct_words,
+       1.0 - CAST(len(list_distinct(t.w)) AS BIGINT)
+             / CAST(len(t.w) AS BIGINT) AS dup_word_frac,
+       CAST(wc.top_word AS BIGINT) / CAST(len(t.w) AS BIGINT)
+           AS top_word_frac,
+       CASE WHEN len(t.w) < 2 THEN 0.0
+            ELSE CAST(bc.top_bigram AS BIGINT)
+                 / CAST(len(t.w) - 1 AS BIGINT) END AS top_bigram_frac
+FROM t JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)""",
+)
+def td_repetition_stats(spark, sf_dir):
+    return analysis.repetition_stats(_docs_table(spark, sf_dir))
+
+
+@q(
+    "td_hash_sample",
+    """
+SELECT doc_id, bucket FROM (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'),
+              1, 8)) AS BIGINT) % 100 AS BIGINT) AS bucket
+  FROM documents)
+WHERE bucket < 10""",
+)
+def td_hash_sample(spark, sf_dir):
+    return analysis.hash_sample(_docs_table(spark, sf_dir), pct=10, seed="s0")
+
+
+@q(
+    "td_source_cap",
+    """
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents)
+WHERE rk <= 10""",
+)
+def td_source_cap(spark, sf_dir):
+    return analysis.source_cap(_docs_table(spark, sf_dir), cap=10)
+
+
+def _pii_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "__pii__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _spread(
+        spark.read.parquet(ensure_pii_corpus(sf_of_dir(sf_dir)))
+    ).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _pii_oracle() -> str:
+    email, phone, ip = (
+        _dd(analysis.EMAIL_RE), _dd(analysis.PHONE_RE), _dd(analysis.IP_RE)
+    )
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{email}', '<EMAIL>', 'g'),
+           '{phone}', '<PHONE>', 'g'),
+           '{ip}', '<IP>', 'g') AS clean_text
+FROM read_parquet('{{pii_path}}/*.parquet')"""
+
+
+@q("td_pii_scrub", _pii_oracle())
+def td_pii_scrub(spark, sf_dir):
+    return analysis.pii_scrub(_pii_table(spark, sf_dir))
+
+
 # -- dedup ---------------------------------------------------------------------------
 
 
@@ -2806,8 +2908,10 @@ _RETOUCHED = {
     "td_minhash_signatures", "td_lsh_candidate_pairs",
     "td_lsh_pairs_capped", "td_dup_clusters", "td_corpus_prep",
     "td_jaccard_lsh_verified",
-    # font-mode vectorization (r4)
-    "pp_font_mode", "pp_ordsum_table",
+    # NOT pp_font_mode/pp_ordsum_table: the r4 font-mode vectorization
+    # was measured slower and discarded (PLANS.md) — no result-affecting
+    # change since their fresh r3 rows, and the freed window slots let
+    # two more stale r2-era rows rotate in.
     # numeric HTML entity decoding (r4)
     "html_block_features", "html_main_text", "html_content_spans",
     "html_title", "html_link_stats", "html_dedup_main_text",
@@ -2868,6 +2972,7 @@ def oracle_sql() -> Dict[str, str]:
         "duphdr_path": ensure_family_corpus("duphdr", ORACLE_SF),
         "html_path": ensure_html_corpus(ORACLE_SF),
         "borderline_path": ensure_borderline_corpus(ORACLE_SF),
+        "pii_path": ensure_pii_corpus(ORACLE_SF),
     }
     ensure_oracle_corpus(ORACLE_SF)
     out = {}

@@ -405,3 +405,62 @@ def ensure_html_corpus(sf: float) -> str:
         pq.write_table(table, f"{tmp_dir}/part-{file_no:05d}.parquet")
     os.rename(tmp_dir, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# PII corpus: planted emails / phones / IPs for the pii_scrub operator
+# ---------------------------------------------------------------------------
+
+
+def pii_text(i: int) -> str:
+    """Deterministic text with planted PII-shaped tokens.
+
+    Plants true positives (email / phone / ip), designed near-misses
+    (domain-less '@', SSN-shaped 3-2-4 digits — neither may match), and
+    one detector-overlap stress case (a phone-shaped email local part,
+    which must count for BOTH detectors but redact once as the email)."""
+    words = [_hw(i, j) for j in range(24)]
+    if i % 3 == 0:
+        words[4] = f"user.{i % 97}+tag@mail{i % 5}.example.com"
+    if i % 4 == 1:
+        words[9] = f"{200 + i % 700}-{100 + i % 900}-{1000 + i % 9000}"
+    if i % 5 == 2:
+        words[14] = f"10.{i % 256}.{(i * 3) % 256}.{(i * 7) % 256}"
+    if i % 7 == 3:
+        words[19] = "not@adomain"  # no dotted TLD: not an email
+    if i % 7 == 5:
+        words[19] = f"{i % 900 + 100}-{i % 90 + 10}-{i % 9000 + 1000}"
+        # 3-2-4 digit groups: SSN-shaped, matches NO detector
+    if i % 11 == 4:
+        words[6] = f"{i % 700 + 100}-{i % 900 + 100}-{i % 9000 + 1000}@mail.example.net"
+        # phone-shaped local part: email AND phone detect; email redacts
+    return " ".join(words)
+
+
+PII_ARROW_SCHEMA = pa.schema([("doc_id", pa.string()), ("text", pa.string())])
+
+
+def pii_corpus_path(sf: float) -> str:
+    return os.path.join(SYNTH_DIR, f"pii_sf{sf}")
+
+
+def ensure_pii_corpus(sf: float) -> str:
+    """PII corpus: n_docs = 60000*sf (sf0.01 -> 600 docs)."""
+    path = pii_corpus_path(sf)
+    if os.path.exists(path):
+        return path
+    n_docs = max(50, int(60000 * sf))
+    tmp_dir = path + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    for file_no, start in enumerate(range(0, n_docs, DOCS_PER_FILE)):
+        idx = range(start, min(start + DOCS_PER_FILE, n_docs))
+        table = pa.Table.from_pydict(
+            {
+                "doc_id": [f"pii-{i:06d}" for i in idx],
+                "text": [pii_text(i) for i in idx],
+            },
+            schema=PII_ARROW_SCHEMA,
+        )
+        pq.write_table(table, f"{tmp_dir}/part-{file_no:05d}.parquet")
+    os.rename(tmp_dir, path)
+    return path

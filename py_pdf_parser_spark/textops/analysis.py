@@ -139,3 +139,115 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep filters: repetition signals, sampling, caps, PII scrubbing
+# (the Gopher/C4-style rule family — all public heuristics).
+# ---------------------------------------------------------------------------
+
+# Longest equal-run counter over a SORTED array: the per-row (no shuffle)
+# way to get "count of the most frequent element".  Null-safe <=> only
+# for the initial NULL prev; split() never yields null elements.
+_TOP_RUN = (
+    "aggregate({arr}, "
+    "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+    "(acc, x) -> named_struct("
+    "'prev', x, "
+    "'run', IF(acc.prev <=> x, acc.run + 1L, 1L), "
+    "'best', GREATEST(acc.best, IF(acc.prev <=> x, acc.run + 1L, 1L))), "
+    "acc -> acc.best)"
+)
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document (cf. the Gopher
+    rules' duplicate-line / top-n-gram fractions, public): distinct-word
+    dup fraction, most-frequent-word fraction, most-frequent-bigram
+    fraction.  All per-row Column math — the most-frequent counts come
+    from a longest-run scan over the SORTED token array instead of a
+    (doc_id, token) shuffle, so the op stays a narrow map at any scale.
+    Docs with < 2 words have no bigrams: top_bigram_frac = 0.0."""
+    w = "split(text, ' ')"
+    bigrams = (
+        f"IF(size({w}) < 2, array(), "
+        f"transform(sequence(1, size({w}) - 1), "
+        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1))))"
+    )
+    n_words = F.expr(f"size({w})").cast("long")
+    n_distinct = F.expr(f"size(array_distinct({w}))").cast("long")
+    top_word = F.expr(_TOP_RUN.format(arr=f"array_sort({w})")).cast("long")
+    top_bigram = F.expr(
+        _TOP_RUN.format(arr=f"array_sort({bigrams})")
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        (F.lit(1.0) - n_distinct / n_words).alias("dup_word_frac"),
+        (top_word / n_words).alias("top_word_frac"),
+        F.when(n_words < 2, F.lit(0.0))
+        .otherwise(top_bigram / (n_words - F.lit(1)))
+        .alias("top_bigram_frac"),
+    )
+
+
+def hash_sample(docs: DataFrame, pct: int = 10, seed: str = "s0") -> DataFrame:
+    """Deterministic hash sampling: keep a document iff
+    md5("<doc_id>:<seed>") mod 100 < pct.  Content-stable (the same doc
+    is kept in every run and on every cluster size — no RNG, no
+    per-partition state) and exactly reproducible in any engine with
+    md5, which is what makes corpus subsets auditable."""
+    key = F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(seed))
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+    )
+    return docs.select("doc_id", bucket.alias("bucket")).filter(
+        F.col("bucket") < pct
+    )
+
+
+def source_cap(docs: DataFrame, cap: int = 10) -> DataFrame:
+    """Per-source document cap (the per-domain cap of crawl prep): keep
+    the first ``cap`` docs of each source by doc_id.  One shuffle on the
+    small source key; at web scale source is the hostname and the skew
+    mitigation is the same salting/AQE toolbox as any hot-key window."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+    )
+
+
+# RE2-safe (no lookahead/backrefs) so the identical pattern text runs on
+# Java regex (Spark) and RE2 (DuckDB oracle).  \b is ASCII word boundary
+# in both.  Deliberately simple, documented detectors — the operator
+# surface (count + sequential redaction) is the contract, the patterns
+# are a tuning surface.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection counts + redacted text.
+
+    Counts are raw detections on the ORIGINAL text (each detector runs
+    independently, so a phone-shaped local part inside an email counts
+    for both); ``clean_text`` applies the redactions sequentially
+    email -> phone -> ip, so text swallowed by an earlier redaction is
+    not re-redacted.  Pure narrow Column pipeline."""
+    t = F.col("text")
+    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    clean = F.regexp_replace(clean, IP_RE, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(IP_RE)).cast("long").alias("n_ips"),
+        clean.alias("clean_text"),
+    )

@@ -285,3 +285,86 @@ class TestSharedSignatureTables:
         b = sorted(map(tuple,
                        dedup.ngram_jaccard_pairs(docs, rows=rows).collect()))
         assert a == b and a
+
+
+class TestCorpusPrepFilters:
+    """Gopher/C4-style corpus-prep rules: repetition signals,
+    deterministic sampling, per-source caps, PII scrubbing."""
+
+    def test_repetition_stats_known_fractions(self, spark):
+        from py_pdf_parser_spark.textops import analysis
+
+        docs = _docs(spark, [
+            (1, "a a a a"),          # 4 words, 1 distinct, bigram 'a a' x3
+            (2, "a b c d"),          # all distinct, every bigram unique
+            (3, "x y x y x"),        # top word x:3/5, bigrams 'x y' 2/4
+            (4, "solo"),             # <2 words -> no bigrams
+        ])
+        out = {r["doc_id"]: r for r in
+               analysis.repetition_stats(docs).collect()}
+        assert out[1]["n_words"] == 4 and out[1]["n_distinct_words"] == 1
+        assert out[1]["dup_word_frac"] == 0.75
+        assert out[1]["top_word_frac"] == 1.0
+        assert out[1]["top_bigram_frac"] == 1.0
+        assert out[2]["dup_word_frac"] == 0.0
+        assert out[2]["top_bigram_frac"] == 1.0 / 3.0
+        assert out[3]["top_word_frac"] == 3.0 / 5.0
+        assert out[3]["top_bigram_frac"] == 2.0 / 4.0
+        assert out[4]["top_bigram_frac"] == 0.0
+
+    def test_hash_sample_deterministic_and_content_stable(self, spark):
+        from py_pdf_parser_spark.textops import analysis
+
+        docs = _docs(spark, [(i, f"doc {i}") for i in range(500)])
+        a = sorted(r["doc_id"] for r in
+                   analysis.hash_sample(docs, pct=10).collect())
+        b = sorted(r["doc_id"] for r in
+                   analysis.hash_sample(docs, pct=10).collect())
+        assert a == b and 0 < len(a) < 500
+        # rate roughly holds (md5 buckets are uniform-ish)
+        assert 20 <= len(a) <= 90
+        # monotone in pct: a 10% sample is a subset of a 20% sample
+        wider = sorted(r["doc_id"] for r in
+                       analysis.hash_sample(docs, pct=20).collect())
+        assert set(a) <= set(wider)
+        # different seed -> different (deterministic) subset
+        other = sorted(r["doc_id"] for r in
+                       analysis.hash_sample(docs, pct=10, seed="s1").collect())
+        assert other != a
+
+    def test_source_cap_keeps_first_n_per_source(self, spark):
+        from py_pdf_parser_spark.textops import analysis
+
+        rows = [(i, f"t{i}", "en", f"src{i % 3}", 2) for i in range(30)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+        out = analysis.source_cap(docs, cap=4).collect()
+        assert len(out) == 12
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r["doc_id"])
+        for src, ids in by_src.items():
+            expected = sorted(
+                i for i in range(30) if f"src{i % 3}" == src)[:4]
+            assert sorted(ids) == expected
+
+    def test_pii_scrub_detectors_and_overlap(self, spark):
+        from py_pdf_parser_spark.textops import analysis
+
+        docs = _docs(spark, [
+            (1, "mail me at a.b+c@mail.example.com or 212-555-1234 now"),
+            (2, "server at 10.0.200.7 and not@adomain plus 123-45-6789"),
+            (3, "overlap 212-555-1234@mail.example.net case"),
+            (4, "clean text with no identifiers at all"),
+        ])
+        out = {r["doc_id"]: r for r in analysis.pii_scrub(docs).collect()}
+        assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 1, 0)
+        assert out[1]["clean_text"] == "mail me at <EMAIL> or <PHONE> now"
+        # near-misses: domain-less '@' and SSN-shaped 3-2-4 match nothing
+        assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ips"]) == (0, 0, 1)
+        assert out[2]["clean_text"] == "server at <IP> and not@adomain plus 123-45-6789"
+        # phone-shaped local part: counted by BOTH, redacted once as email
+        assert (out[3]["n_emails"], out[3]["n_phones"]) == (1, 1)
+        assert out[3]["clean_text"] == "overlap <EMAIL> case"
+        assert out[4]["clean_text"] == out[4]["clean_text"] and out[4]["n_emails"] == 0
