@@ -607,6 +607,8 @@ def main(quick: bool = False) -> None:
         _html_table,
         _html_blocks_table,
         _minhash_wide_table,
+        _banded_table,
+        _patho_banded_table,
         _simhash_table,
     )
 
@@ -619,6 +621,8 @@ def main(quick: bool = False) -> None:
     _html_table(spark, SF_DIR).count()
     _html_blocks_table(spark, SF_DIR).count()
     _minhash_wide_table(spark, SF_DIR).count()
+    _banded_table(spark, SF_DIR).count()
+    _patho_banded_table(spark, SF_DIR).count()
     _simhash_table(spark, SF_DIR).count()
     cache_fill_sec = round(time.time() - t0, 3)
 
@@ -629,17 +633,31 @@ def main(quick: bool = False) -> None:
     # map outputs and report skipped-stage times.
     qs = all_queries()
     query_passes = {name: [] for name in BENCH_QUERIES}
+    build_passes = {name: [] for name in BENCH_QUERIES}
     for name in BENCH_QUERIES:  # warm (includes corpus synth first run)
         _force(qs[name](spark, SF_DIR))
     for _ in range(1 if quick else 3):
         for name in BENCH_QUERIES:
+            # Build timed SEPARATELY from force: build covers driver-side
+            # work a deployment pays once per plan (Catalyst analysis of
+            # big expression trees — PLANS.md r4) but ALSO any eager jobs
+            # a builder runs (td_dup_clusters' iterative CC rounds happen
+            # at build).  Reporting both keeps the steady-state operator
+            # number comparable across rounds without hiding build-side
+            # cost.
+            t0 = time.time()
             df = qs[name](spark, SF_DIR)
+            build_passes[name].append(round(time.time() - t0, 3))
             t0 = time.time()
             _force(df)
             query_passes[name].append(round(time.time() - t0, 3))
     query_secs = {
         name: round(statistics.median(ts), 3)
         for name, ts in query_passes.items()
+    }
+    query_build_secs = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in build_passes.items()
     }
 
     # LSH/CC audit (no silent caps): what the 256-doc bucket cap drops
@@ -690,6 +708,7 @@ def main(quick: bool = False) -> None:
                 "unit": "sec",
                 "cache_fill_sec": cache_fill_sec,
                 "queries": query_secs,
+                "query_build_secs": query_build_secs,
                 "sf": sf,
                 "docs": docs,
                 "docs_per_sec": round(docs / sec, 1),
@@ -730,6 +749,7 @@ def main(quick: bool = False) -> None:
         "flagship_passes": flagship_passes,
         "cache_fill_sec": cache_fill_sec,
         "queries": query_secs,
+        "query_build_secs": query_build_secs,
         "sf": sf,
         "docs": docs,
         "docs_per_sec": round(docs / sec, 1),

