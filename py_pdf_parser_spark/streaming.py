@@ -330,3 +330,37 @@ def stream_html_extract(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_pii_scrub(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "pii_scrub",
+    max_files_per_trigger: int = 4,
+):
+    """Streaming PII scrubbing at ingest: the stateless per-document
+    analysis.pii_scrub transformation applied to a file-source stream —
+    detections counted and text redacted BEFORE documents land anywhere
+    downstream, which is where a privacy gate belongs in a pipeline.
+    Stateless narrow transformation: identical results to the batch
+    operator on the same rows (asserted by test), no watermark or state
+    store.  Append-mode memory sink under ``query_name``."""
+    from .textops.analysis import pii_scrub
+
+    # the documents-table shape (TESTDATA.md), not the spans schema
+    doc_table_schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(doc_table_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        pii_scrub(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )

@@ -259,3 +259,33 @@ def test_stream_html_extract_replay_is_idempotent(spark, tmp_path):
         spark.read.parquet(out_dir).where("batch_id = 1").count()
     )
     assert len(second) + n_new == spark.read.parquet(out_dir).count()
+
+
+def test_stream_pii_scrub_matches_batch(spark, tmp_path):
+    """Stateless streaming scrub == the batch operator on the same rows."""
+    from py_pdf_parser_spark.streaming import stream_pii_scrub
+    from py_pdf_parser_spark.textops.analysis import pii_scrub
+
+    rows = [
+        (1, "mail a.b+c@mail.example.com now", "en", "s0", 30),
+        (2, "call 212-555-1234 or visit 10.0.0.7", "en", "s0", 30),
+        (3, "clean text with nothing planted", "en", "s1", 30),
+        (4, "overlap 212-555-1234@mail.example.net case", "en", "s1", 30),
+    ]
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    docs = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "in")
+    docs.coalesce(1).write.parquet(in_dir)
+
+    q = stream_pii_scrub(spark, in_dir, query_name="pii_t")
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM pii_t").collect()
+        }
+    finally:
+        q.stop()
+    want = {tuple(r) for r in pii_scrub(docs).collect()}
+    assert got == want and len(want) == 4
