@@ -386,3 +386,36 @@ class TestCorpusPrepFilters:
             alone = {tuple(x) for x in fn(docs, None).collect()}
             shared = {tuple(x) for x in fn(docs, banded).collect()}
             assert alone == shared and alone
+
+    def test_repetition_stats_matches_counter_model(self, spark):
+        """Differential vs collections.Counter over seeded-random token
+        lists (incl. adversarial shapes: all-same, all-distinct, runs
+        that interleave after sorting, single word): the longest-run
+        scan over the SORTED array must equal the most-common count."""
+        import random
+        from collections import Counter
+
+        from py_pdf_parser_spark.textops import analysis
+
+        rng = random.Random(42)
+        vocab = [f"w{k}" for k in range(9)]
+        rows = [(0, "solo"), (1, "a a a a a"), (2, "a b c d e f")]
+        for i in range(3, 160):
+            n = rng.randint(1, 40)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        out = {r["doc_id"]: r for r in
+               analysis.repetition_stats(_docs(spark, rows)).collect()}
+        assert len(out) == len(rows)
+        for doc_id, text in rows:
+            w = text.split(" ")
+            r = out[doc_id]
+            assert r["n_words"] == len(w)
+            assert r["n_distinct_words"] == len(set(w))
+            top_w = Counter(w).most_common(1)[0][1]
+            assert r["top_word_frac"] == top_w / len(w), (doc_id, text)
+            if len(w) >= 2:
+                bgs = [f"{a} {b}" for a, b in zip(w, w[1:])]
+                top_b = Counter(bgs).most_common(1)[0][1]
+                assert r["top_bigram_frac"] == top_b / len(bgs), (doc_id, text)
+            else:
+                assert r["top_bigram_frac"] == 0.0
