@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "td_jaccard_borderline",
     "td_repetition_stats",
     "td_pii_scrub",
+    "html_line_dedup",
 ]
 
 

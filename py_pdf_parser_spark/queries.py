@@ -2758,6 +2758,59 @@ def html_dedup_main_text(spark, sf_dir):
     )
 
 
+
+@q(
+    "html_line_dedup",
+    _html_blocks_cte()
+    + """
+, mt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(text, chr(10) ORDER BY block_idx)
+             FILTER (WHERE is_content), '') AS text
+  FROM feat GROUP BY doc_id
+), ln AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(string_split(text, chr(10)))))
+              - 1 AS BIGINT) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM mt
+), common AS (
+  SELECT md5(line) AS lh FROM ln
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50
+), kept AS (
+  SELECT * FROM ln WHERE md5(line) NOT IN (SELECT lh FROM common)
+), agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept_lines
+  FROM kept GROUP BY doc_id
+)
+SELECT mt.doc_id,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       COALESCE(agg.n_kept_lines, 0) AS n_kept_lines,
+       CAST(len(string_split(mt.text, chr(10)))
+            - COALESCE(agg.n_kept_lines, 0) AS BIGINT) AS n_dropped_lines
+FROM mt LEFT JOIN agg USING (doc_id)""",
+)
+def html_line_dedup(spark, sf_dir):
+    """Extraction -> corpus-level line dedup composition (the C4-family
+    rule): a line of extracted main text appearing in >= 50 distinct
+    pages is corpus boilerplate and is dropped everywhere; per-page
+    text is reassembled in order.  The synth corpus plants a universal
+    in-content paragraph (every page, plain text, passes the LOCAL
+    classifier by design) that only this global pass can catch; it and
+    the corpus' few high-frequency short-sentence classes cross the
+    threshold, while the period-180 content families (<= 34 copies at
+    sf0.1) stay below it — at sf0.01 the query keeps ~2.3k body lines
+    and drops ~1k boilerplate-degree lines, a real mixed outcome rather
+    than a vacuous all-or-nothing."""
+    return dedup.line_dedup(
+        html_ops.as_documents(
+            _html_table(spark, sf_dir),
+            blocks=_html_blocks_table(spark, sf_dir),
+        ),
+        min_repeat=50,
+    )
+
 @q(
     "html_link_stats",
     _html_blocks_cte()

@@ -280,6 +280,16 @@ def html_doc(i: int) -> str:
         if (i + j) % 4 == 0:
             body += f' see <a href="/x{j}">the {_hw(i, j + 50)} notes</a>'
         parts.append(f"{p}{body}{endp}")
+    # Universal in-content boilerplate: the SAME plain-text paragraph on
+    # every page, long and link-free, so it passes the page-LOCAL
+    # content classifier by design — only the corpus-level line rule
+    # (dedup.line_dedup / html_line_dedup) can catch it.  Constant
+    # across pages, so the main-text period-180 duplicate structure is
+    # untouched.
+    parts.append(
+        f"{p}subscribe to the weekly bulletin for updates announcements"
+        f" and community news delivered every morning{endp}"
+    )
     # Link-farm ad block: survives region strip, fails link density.
     parts.append(
         f'<div class="ad"><a href="/buy{i}">buy {_hw(i, 7)} now</a></div>'

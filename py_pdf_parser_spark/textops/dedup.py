@@ -700,3 +700,60 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def line_dedup(
+    docs: DataFrame, min_repeat: int = 3, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the C4/RefinedWeb rule
+    family): a line whose exact text occurs in >= ``min_repeat``
+    DISTINCT documents is boilerplate (cookie banners, nav crumbs,
+    legal footers that survived page-local extraction because every
+    page "legitimately" contains them) — ALL its occurrences are
+    dropped, and each document's surviving lines are reassembled in
+    original order.
+
+    -> (doc_id, clean_text, n_kept_lines, n_dropped_lines).
+
+    Shape at scale: one shuffle keyed on md5(line) for the global
+    distinct-doc counts (narrow hex keys, never the line text), an
+    anti-join of the line rows against the (small) over-threshold key
+    set, and one doc_id aggregation for the ordered reassembly
+    (collect_list(struct(pos, line)) + array_sort — deterministic, the
+    same trick as html.main_text).  ``sep`` is a split REGEX and also
+    the rejoin separator, so keep it a literal character."""
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), sep, -1)).cast("long").alias("n_lines"),
+    )
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), sep, -1)).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+    common = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_repeat)
+        .select("lh")
+    )
+    kept = lines.join(common, "lh", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept_lines"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept_lines"), F.lit(0))
+        .cast("long")
+        .alias("n_kept_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept_lines"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped_lines"),
+    )

@@ -419,3 +419,29 @@ class TestCorpusPrepFilters:
                 assert r["top_bigram_frac"] == top_b / len(bgs), (doc_id, text)
             else:
                 assert r["top_bigram_frac"] == 0.0
+
+    def test_line_dedup_corpus_level(self, spark):
+        from py_pdf_parser_spark.textops import dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "unique one\nFOOTER\nalpha"),
+                (2, "FOOTER\nunique two"),
+                (3, "unique three\nFOOTER"),
+                (4, "REPEAT\nREPEAT\nREPEAT\nonly here"),  # within ONE doc:
+                # distinct-doc count = 1 < 3, so repeats survive
+                (5, "FOOTER"),  # nothing survives -> empty text
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               dedup.line_dedup(docs, min_repeat=3).collect()}
+        assert len(out) == 5
+        assert out[1]["clean_text"] == "unique one\nalpha"
+        assert out[1]["n_kept_lines"] == 2 and out[1]["n_dropped_lines"] == 1
+        assert out[2]["clean_text"] == "unique two"
+        assert out[3]["clean_text"] == "unique three"
+        # per-document repetition does NOT trigger the corpus rule
+        assert out[4]["clean_text"] == "REPEAT\nREPEAT\nREPEAT\nonly here"
+        assert out[4]["n_dropped_lines"] == 0
+        assert out[5]["clean_text"] == "" and out[5]["n_kept_lines"] == 0
