@@ -10,13 +10,14 @@ wrong password (``PDFPasswordIncorrect``) is dropped from the elements
 output and surfaced as an error row by ``pdf_parse_status`` — it never
 fails the Spark task.
 
-pdfminer.six is NOT installed in this sandbox, so the import is gated:
-``parse_pdf_bytes`` raises ``NotImplementedError`` with the install hint
-unless an ``extract_pages`` callable is injected.  The Spark plumbing —
-binary column in, ``mapInArrow`` batch shape, ELEMENTS_SCHEMA out, Doc
-ordering/classification — is real and tested against a deterministic
-fake extractor (tests/test_sources.py), exactly like the multimodal
-decode stubs (textops/media.py).
+pdfminer.six is NOT installed in this sandbox; the built-in extractor
+is the engine's own from-scratch, stdlib-only PDF parser
+(sources/minipdf — ISO 32000 object/xref/content layers + pdfminer's
+public layout rules), which passes the reference's unmodified
+test_loaders.py and test_doc_examples goldens (tests/
+test_reference_suite.py).  If real pdfminer is importable it is
+preferred; an injected ``extract_pages`` callable overrides both
+(deterministic fakes in tests/test_sources.py).
 
 At 100 TB: one narrow mapInArrow over the (doc_id, pdf_bytes) scan —
 no shuffle; giant PDFs are the task-level skew the pipeline's
@@ -39,19 +40,25 @@ from ..kernel.doc import Doc
 DEFAULT_LA_PARAMS: Dict[str, Any] = {"boxes_flow": None}
 
 
-def _pdfminer_extract_pages() -> Callable:
-    try:
-        from pdfminer.high_level import extract_pages  # noqa: F401
-        from pdfminer.layout import LAParams  # noqa: F401
-    except ImportError as err:
-        raise NotImplementedError(
-            "PDF byte-stream parsing needs pdfminer.six (pip install "
-            "pdfminer.six); this sandbox provides only the spans-table "
-            "input path. Inject extract_pages= for testing."
-        ) from err
+def _pdfminer_extract_pages() -> Tuple[Callable, bool]:
+    """Resolve the byte-stream extractor: (run, is_real_pdfminer).
 
-    from pdfminer.high_level import extract_pages
-    from pdfminer.layout import LAParams
+    Real pdfminer.six wins when importable (exact reference
+    dependency); otherwise the engine's own minipdf parser
+    (sources/minipdf) — same page/textbox surface, validated against
+    the reference's golden PDFs."""
+    try:
+        from pdfminer.high_level import extract_pages
+        from pdfminer.layout import LAParams
+    except ImportError:
+        from .minipdf import LAParams, extract_pages
+
+        def run_mini(data: bytes, password: Optional[str], la: Dict[str, Any]):
+            return extract_pages(
+                data, laparams=LAParams(**la), password=password
+            )
+
+        return run_mini, False
 
     def run(data: bytes, password: Optional[str], la: Dict[str, Any]):
         return extract_pages(
@@ -60,7 +67,7 @@ def _pdfminer_extract_pages() -> Callable:
             password=password or "",
         )
 
-    return run
+    return run, True
 
 
 def _duck_is_textbox(el: Any) -> bool:
@@ -73,16 +80,16 @@ def _duck_is_textbox(el: Any) -> bool:
     )
 
 
-def _make_is_textbox(injected: bool) -> Callable[[Any], bool]:
+def _make_is_textbox(real_pdfminer: bool) -> Callable[[Any], bool]:
     """Pick the textbox predicate ONCE per document parse.
 
-    With an injected ``extract_pages`` (tests, the builtin minipdf
-    fallback) the duck-typed check is used even if pdfminer happens to
+    With an injected ``extract_pages`` (tests) or the builtin minipdf
+    fallback the duck-typed check is used even if pdfminer happens to
     be importable — an isinstance(LTTextBox) check would silently drop
-    every fake element.  With real pdfminer the exact isinstance check
-    is used (reference loaders.py:78), resolved here rather than per
-    element (no hot-loop import)."""
-    if injected:
+    every fake/minipdf element.  With real pdfminer the exact
+    isinstance check is used (reference loaders.py:78), resolved here
+    rather than per element (no hot-loop import)."""
+    if not real_pdfminer:
         return _duck_is_textbox
     try:
         from pdfminer.layout import LTTextBox
@@ -119,8 +126,11 @@ def doc_from_pdf_bytes(
     extract_pages: Optional[Callable] = None,
 ) -> Doc:
     """One PDF byte string -> an ordered, classified kernel Doc."""
-    run = extract_pages or _pdfminer_extract_pages()
-    is_textbox = _make_is_textbox(injected=extract_pages is not None)
+    if extract_pages is not None:
+        run, real = extract_pages, False
+    else:
+        run, real = _pdfminer_extract_pages()
+    is_textbox = _make_is_textbox(real_pdfminer=real)
     la = {**DEFAULT_LA_PARAMS, **(la_params or {})}
 
     page_num: List[int] = []

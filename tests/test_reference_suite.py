@@ -31,6 +31,9 @@ TARGET_FILES = [
     "test_filtering.py",
     "test_sectioning.py",
     "test_tables.py",
+    # real-PDF surfaces, runnable since the from-scratch minipdf
+    # extractor (sources/minipdf) backs compat/loaders.py:
+    "test_loaders.py",
 ]
 
 
@@ -44,7 +47,12 @@ def test_reference_suite_passes(tmp_path):
         path = work / "tests" / name
         if path.is_file() and name.startswith("test_") and name not in TARGET_FILES:
             path.unlink()
-    shutil.rmtree(work / "tests" / "test_doc_examples")
+    # test_doc_examples loads the reference's REAL example PDFs via
+    # ../../docs/source/example_files — ship them alongside
+    shutil.copytree(
+        "/root/reference/docs/source/example_files",
+        work / "docs" / "source" / "example_files",
+    )
 
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join([SHIMS, REPO])
@@ -61,7 +69,7 @@ def test_reference_suite_passes(tmp_path):
     assert proc.returncode == 0, tail
     m = re.search(r"(\d+) passed", proc.stdout)
     assert m, tail
-    # 94 test functions across the five files, ddt expands 4 of them
-    # into 32 cases -> exactly 122; a collection regression must not
-    # silently shrink the run
-    assert int(m.group(1)) == 122, tail
+    # 94 test functions across the five API files (ddt expands 4 into
+    # 32 cases -> 122) + 6 loader tests + 5 doc-example goldens = 133;
+    # a collection regression must not silently shrink the run
+    assert int(m.group(1)) == 133, tail

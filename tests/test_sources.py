@@ -121,16 +121,23 @@ class TestDocFromPdfBytes:
                 extract_pages=fake_extract_pages,
             )
 
-    def test_not_implemented_without_pdfminer(self):
-        has_pdfminer = True
-        try:
-            import pdfminer  # noqa: F401
-        except ImportError:
-            has_pdfminer = False
-        if has_pdfminer:
-            pytest.skip("pdfminer installed; gate not reachable")
-        with pytest.raises(NotImplementedError):
+    def test_builtin_minipdf_extractor_parses_real_bytes(self):
+        # No injected extractor: the builtin falls back to the
+        # from-scratch minipdf parser (sources/minipdf) when pdfminer
+        # is absent, so REAL PDF bytes parse out of the box.
+        data = open(
+            "/root/reference/docs/source/example_files/simple_memo.pdf",
+            "rb",
+        ).read()
+        doc = doc_from_pdf_bytes("memo", data)
+        texts = [doc.text_of(i) for i in range(doc.n)]
+        assert "Memorandum" in texts
+        assert "All Developers" in texts
+
+    def test_builtin_extractor_rejects_truncated_bytes(self):
+        with pytest.raises(Exception) as err:
             doc_from_pdf_bytes("d", b"%PDF-1.4")
+        assert not isinstance(err.value, NotImplementedError)
 
 
 class TestSparkPlumbing:
@@ -204,6 +211,6 @@ class TestSparkPlumbing:
         silently drop every fake element (r3 ADVICE)."""
         from py_pdf_parser_spark.sources.pdf_bytes import _make_is_textbox
 
-        pred = _make_is_textbox(injected=True)
+        pred = _make_is_textbox(real_pdfminer=False)
         assert pred(FakeBox(0, 1, 0, 1, "x"))
         assert not pred(FakeFigure())
