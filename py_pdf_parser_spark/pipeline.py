@@ -220,19 +220,40 @@ _EXTRACT_ARROW_FIELDS = [
 def extract_arrow_batch(
     batch: pa.RecordBatch, passthrough: List[str]
 ) -> pa.RecordBatch:
+    return pack_extracted_batch(
+        ((doc_id, doc) for _pos, doc_id, doc in _iter_docs(batch)),
+        batch.num_rows,
+        batch,
+        passthrough,
+    )
+
+
+def pack_extracted_batch(
+    pairs,
+    num_rows: int,
+    batch: Optional[pa.RecordBatch] = None,
+    passthrough: Optional[List[str]] = None,
+) -> pa.RecordBatch:
+    """(doc_id, Doc-or-DocError) pairs -> EXTRACTED_SCHEMA RecordBatch.
+
+    Shared by the spans path (extract_arrow_batch) and the byte-stream
+    path (sources.pdf_bytes.extract_spans_from_pdf): one recipe run per
+    document, per-doc error isolation, output order = position in the
+    recipe's emitted sequence."""
+    passthrough = passthrough or []
     doc_ids: List[str] = []
     statuses: List[str] = []
     errors: List[Optional[str]] = []
     out_kind: List[str] = []
     out_text: List[Optional[str]] = []
     out_ref: List[Optional[str]] = []
-    list_offs = np.zeros(batch.num_rows + 1, dtype=np.int32)
-    counts = np.zeros(batch.num_rows, dtype=np.int64)
+    list_offs = np.zeros(num_rows + 1, dtype=np.int32)
+    counts = np.zeros(num_rows, dtype=np.int64)
 
     row = 0
-    for pos, doc_id, doc in _iter_docs(batch):
+    for doc_id, doc in pairs:
         doc_ids.append(doc_id)
-        if isinstance(doc, DocError):
+        if isinstance(doc, Exception):  # DocError, or any byte-path error
             statuses.append("error")
             errors.append(f"{type(doc).__name__}: {doc}")
         else:

@@ -318,5 +318,17 @@ class Interpreter:
             else:
                 self.page.figures.append(fig)
         elif sub == "Image":
-            # opaque media: an empty figure marks its place
-            self.page.figures.append(Figure(disp, (0.0, 0.0, 1.0, 1.0)))
+            # opaque media: an empty figure at the image's placed rect
+            # (the unit square through the CTM, spec §8.9.5) — the
+            # byte-stream loader can surface these as media elements
+            # (pdf_bytes include_media), keeping interleaved text+media
+            # documents round-trippable through real PDF bytes.
+            xs, ys = [], []
+            for px in (0.0, 1.0):
+                for py in (0.0, 1.0):
+                    qx, qy = apply_matrix_pt(ctm, (px, py))
+                    xs.append(qx)
+                    ys.append(qy)
+            self.page.figures.append(
+                Figure(disp, (min(xs), min(ys), max(xs), max(ys)))
+            )

@@ -117,6 +117,19 @@ def _char_payload(box: Any) -> Tuple[List[str], List[float]]:
     return fonts, sizes
 
 
+def _is_media_figure(el: Any, is_textbox: Callable[[Any], bool]) -> bool:
+    """An image-XObject figure: positioned, named, and containing no
+    text boxes (form figures that hold text are NOT media)."""
+    if is_textbox(el) or not hasattr(el, "x0"):
+        return False
+    if getattr(el, "name", None) is None:
+        return False
+    try:
+        return not any(is_textbox(child) for child in el)
+    except TypeError:
+        return True
+
+
 def doc_from_pdf_bytes(
     doc_id: str,
     data: bytes,
@@ -124,8 +137,17 @@ def doc_from_pdf_bytes(
     la_params: Optional[Dict[str, Any]] = None,
     config: Optional[dict] = None,
     extract_pages: Optional[Callable] = None,
+    include_media: bool = False,
 ) -> Doc:
-    """One PDF byte string -> an ordered, classified kernel Doc."""
+    """One PDF byte string -> an ordered, classified kernel Doc.
+
+    ``include_media=True`` additionally surfaces image XObjects as
+    ``media`` elements whose ``media_ref`` is the image's resource name
+    — the byte-stream realization of the interleaved text+media input
+    (BASELINE.json input_hint); pdf_writer.render_pdf emits images
+    named by media_ref, making span sequences round-trippable through
+    real bytes.  Default False = exact reference loader semantics
+    (media invisible, loaders.py:76-86)."""
     if extract_pages is not None:
         run, real = extract_pages, False
     else:
@@ -138,7 +160,9 @@ def doc_from_pdf_bytes(
     x1: List[float] = []
     y0: List[float] = []
     y1: List[float] = []
-    texts: List[str] = []
+    texts: List[Optional[str]] = []
+    kinds: List[str] = []
+    media_refs: List[Optional[str]] = []
     char_fonts: List[List[str]] = []
     char_sizes: List[List[float]] = []
     page_width: Dict[int, float] = {}
@@ -152,7 +176,12 @@ def doc_from_pdf_bytes(
             for fig in page:
                 if not is_textbox(fig) and hasattr(fig, "__iter__"):
                     boxes += [el for el in fig if is_textbox(el)]
-        if not boxes:
+        media: List[Any] = []
+        if include_media:
+            media = [
+                el for el in page if _is_media_figure(el, is_textbox)
+            ]
+        if not boxes and not media:
             continue  # reference loaders.py:88-92: skip blank pages
         pid = int(page.pageid)
         page_width[pid] = float(page.width)
@@ -164,11 +193,23 @@ def doc_from_pdf_bytes(
             y0.append(float(box.y0))
             y1.append(float(box.y1))
             texts.append(box.get_text())
+            kinds.append("text")
+            media_refs.append(None)
             fonts, sizes = _char_payload(box)
             char_fonts.append(fonts)
             char_sizes.append(sizes)
+        for fig in media:
+            page_num.append(pid)
+            x0.append(float(fig.x0))
+            x1.append(float(fig.x1))
+            y0.append(float(fig.y0))
+            y1.append(float(fig.y1))
+            texts.append(None)
+            kinds.append("media")
+            media_refs.append(str(fig.name))
+            char_fonts.append([])
+            char_sizes.append([])
 
-    n = len(texts)
     return Doc(
         doc_id,
         page=page_num,
@@ -177,8 +218,8 @@ def doc_from_pdf_bytes(
         y0=y0,
         y1=y1,
         text=texts,
-        kind=["text"] * n,
-        media_ref=[None] * n,
+        kind=kinds,
+        media_ref=media_refs,
         char_fonts=char_fonts,
         char_sizes=char_sizes,
         page_width=page_width or 100.0,
@@ -192,8 +233,9 @@ def _iter_pdf_docs(
     bytes_col: str,
     password_col: Optional[str],
     la_params: Optional[Dict[str, Any]],
-    config: Optional[dict],
+    config: Optional[Any],
     extract_pages: Optional[Callable],
+    include_media: bool = False,
 ) -> Iterator[Tuple[str, Any]]:
     """Yield (doc_id, Doc-or-Exception) per PDF in the batch.
 
@@ -210,13 +252,15 @@ def _iter_pdf_docs(
     )
     for doc_id, data, pw in zip(ids, datas, pwds):
         try:
+            cfg = config(doc_id) if callable(config) else config
             yield doc_id, doc_from_pdf_bytes(
                 doc_id,
                 data,
                 password=pw,
                 la_params=la_params,
-                config=config,
+                config=cfg,
                 extract_pages=extract_pages,
+                include_media=include_media,
             )
         except NotImplementedError:
             raise  # missing extractor is an environment error, not a doc
@@ -229,8 +273,9 @@ def parse_pdf_bytes(
     bytes_col: str = "pdf_bytes",
     password_col: Optional[str] = None,
     la_params: Optional[Dict[str, Any]] = None,
-    config: Optional[dict] = None,
+    config: Optional[Any] = None,
     extract_pages: Optional[Callable] = None,
+    include_media: bool = False,
 ) -> DataFrame:
     """(doc_id, pdf_bytes[, password]) -> elements DataFrame.
 
@@ -239,7 +284,8 @@ def parse_pdf_bytes(
     works unchanged on byte-stream-loaded documents.  Documents whose
     parse raises (corrupt bytes, wrong password) are DROPPED here, like
     the spans path drops DocError docs; use ``pdf_parse_status`` to see
-    which and why."""
+    which and why.  ``config`` may be a Doc-kwargs dict or a callable
+    ``doc_id -> dict`` (per-family configs)."""
     from ..pipeline import pack_elements_batch
     from ..schema import ELEMENTS_SCHEMA
 
@@ -249,13 +295,47 @@ def parse_pdf_bytes(
                 (doc_id, doc)
                 for doc_id, doc in _iter_pdf_docs(
                     batch, bytes_col, password_col, la_params, config,
-                    extract_pages,
+                    extract_pages, include_media,
                 )
                 if not isinstance(doc, Exception)
             )
 
     cols = ["doc_id", bytes_col] + ([password_col] if password_col else [])
     return docs_df.select(*cols).mapInArrow(gen, ELEMENTS_SCHEMA)
+
+
+def extract_spans_from_pdf(
+    docs_df: DataFrame,
+    bytes_col: str = "pdf_bytes",
+    password_col: Optional[str] = None,
+    la_params: Optional[Dict[str, Any]] = None,
+    config: Optional[Any] = None,
+    extract_pages: Optional[Callable] = None,
+    include_media: bool = False,
+) -> DataFrame:
+    """(doc_id, pdf_bytes) -> extracted(doc_id, spans, n_spans, status,
+    error): the byte-stream twin of ``pipeline.extract_spans``.
+
+    Runs the same per-family extraction recipe on documents parsed from
+    REAL PDF bytes; failing documents become status='error' rows.  With
+    the pdf_writer's rendered corpora this closes the full round trip:
+    spans -> PDF bytes -> parse -> extract == spans-path extract
+    (span-sequence equality on kind/text/media_ref/order)."""
+    from ..pipeline import pack_extracted_batch
+    from ..schema import EXTRACTED_SCHEMA
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield pack_extracted_batch(
+                _iter_pdf_docs(
+                    batch, bytes_col, password_col, la_params, config,
+                    extract_pages, include_media,
+                ),
+                batch.num_rows,
+            )
+
+    cols = ["doc_id", bytes_col] + ([password_col] if password_col else [])
+    return docs_df.select(*cols).mapInArrow(gen, EXTRACTED_SCHEMA)
 
 
 PDF_STATUS_SCHEMA = (

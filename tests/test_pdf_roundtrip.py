@@ -1,0 +1,130 @@
+"""Span-sequence round trip through REAL PDF bytes.
+
+The north rule's per-row invariant is span-sequence equality
+(kind, text, media_ref, order) against the reference's semantics.  The
+spans path proves it against the DuckDB oracle; this module proves the
+BYTE-STREAM path end-to-end: render every synthetic family to real PDF
+bytes (sources/pdf_writer), parse them back with the from-scratch
+stdlib extractor (sources/minipdf via sources/pdf_bytes), run the same
+extraction recipes, and require output equality with the spans path —
+per document at the kernel level, and as a full distributed Spark job
+(render -> parse -> extract vs extract) at the pipeline level.
+"""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from py_pdf_parser_spark.kernel import doc_from_spans, recipe_for  # noqa: E402
+from py_pdf_parser_spark.kernel.layout import spans_for  # noqa: E402
+from py_pdf_parser_spark.kernel.recipes import default_recipe  # noqa: E402
+from py_pdf_parser_spark.sources.pdf_bytes import (  # noqa: E402
+    doc_from_pdf_bytes,
+    extract_spans_from_pdf,
+)
+from py_pdf_parser_spark.sources.pdf_writer import (  # noqa: E402
+    bytes_config_for,
+    render_pdf,
+    render_pdfs,
+)
+
+
+def _roundtrip_doc(doc_id: str):
+    spans = spans_for(doc_id)
+    d_spans = doc_from_spans(doc_id, spans)
+    pdf = render_pdf(doc_id, spans)
+    d_bytes = doc_from_pdf_bytes(
+        doc_id, pdf, config=bytes_config_for(doc_id), include_media=True
+    )
+    return d_spans, d_bytes
+
+
+class TestKernelRoundtrip:
+    @pytest.mark.parametrize(
+        "doc_id",
+        [
+            "memo-000003",
+            "ora-000017",
+            "ora-000038",  # 24 spans incl. media
+            "ordsum-000002",  # fonts + sections + two tables
+            "media-000005",  # interleaved text+media
+            "bigmedia-000001",  # pathological giant media spans
+        ],
+    )
+    def test_recipe_and_sequence_equal(self, doc_id):
+        d_spans, d_bytes = _roundtrip_doc(doc_id)
+        assert d_spans.n == d_bytes.n  # no layout-analysis merge/split
+        recipe = recipe_for(doc_id)
+        assert recipe(d_spans) == recipe(d_bytes)
+        assert default_recipe(d_spans) == default_recipe(d_bytes)
+
+    def test_sweep_all_families(self):
+        bad = []
+        for fam, n in [("ora", 40), ("memo", 5), ("media", 10),
+                       ("ordsum", 5)]:
+            for i in range(n):
+                doc_id = f"{fam}-{i:06d}"
+                d_spans, d_bytes = _roundtrip_doc(doc_id)
+                recipe = recipe_for(doc_id)
+                if (
+                    recipe(d_spans) != recipe(d_bytes)
+                    or default_recipe(d_spans) != default_recipe(d_bytes)
+                ):
+                    bad.append(doc_id)
+        assert bad == []
+
+    def test_bigdoc_many_pages(self):
+        # 800-page pathological document: page ids, ordering, and the
+        # full span sequence survive the byte trip
+        d_spans, d_bytes = _roundtrip_doc("bigdoc-000001")
+        assert default_recipe(d_spans) == default_recipe(d_bytes)
+        assert list(d_spans.page) == list(d_bytes.page)
+
+    def test_media_refs_name_escaped(self):
+        # media_ref strings contain PDF-name-hostile chars (m://i/o);
+        # the writer #XX-escapes them and the parser restores exactly
+        d_spans, d_bytes = _roundtrip_doc("ora-000003")
+        refs_a = [r for r in d_spans.media_ref if r is not None]
+        refs_b = [r for r in d_bytes.media_ref if r is not None]
+        assert refs_a == refs_b
+        assert any("://" in r for r in refs_a)
+
+
+class TestSparkRoundtrip:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from py_pdf_parser_spark.session import get_spark
+
+        return get_spark(cores=4)
+
+    def test_distributed_render_parse_extract(self, spark):
+        """Full job: spans corpus -> render_pdfs -> extract_spans_from_pdf
+        must equal the spans-path extract_spans, row for row."""
+        from py_pdf_parser_spark.pipeline import extract_spans
+        from py_pdf_parser_spark.synth import ensure_mixed_corpus
+
+        docs = spark.read.parquet(ensure_mixed_corpus(0.001))
+        expected = {
+            r.doc_id: (r.status, [tuple(s) for s in (r.spans or [])])
+            for r in extract_spans(spark, docs).collect()
+        }
+
+        pdfs = render_pdfs(docs)
+        got = {
+            r.doc_id: (r.status, [tuple(s) for s in (r.spans or [])])
+            for r in extract_spans_from_pdf(
+                pdfs, config=bytes_config_for, include_media=True
+            ).collect()
+        }
+        assert set(got) == set(expected)
+        mismatched = [d for d in expected if got[d] != expected[d]]
+        assert mismatched == [], mismatched[:5]
+
+    def test_corrupt_pdf_is_error_row(self, spark):
+        df = spark.createDataFrame(
+            [("bad-000001", bytearray(b"not a pdf"))],
+            "doc_id string, pdf_bytes binary",
+        )
+        rows = extract_spans_from_pdf(df).collect()
+        assert rows[0].status == "error"
+        assert rows[0].n_spans == 0
