@@ -33,6 +33,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "pp_extract_spans",
+    "pp_pdf_roundtrip_extract",  # render->REAL-PDF-parse->extract
     "pp_parse_elements",
     "pp_to_the_right_of",
     "pp_below_all_pages",

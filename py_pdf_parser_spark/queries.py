@@ -554,6 +554,58 @@ def pp_extract_spans(spark, sf_dir):
 
 
 @q(
+    "pp_pdf_roundtrip_extract",
+    _ora_cte()
+    + """
+SELECT doc_id, idx AS ord, kind, text, media_ref FROM elements""",
+)
+def pp_pdf_roundtrip_extract(spark, sf_dir):
+    """Byte-stream flagship: the corpus is RENDERED to real PDF bytes
+    (sources/pdf_writer), parsed back by the from-scratch stdlib PDF
+    extractor (sources/minipdf via sources/pdf_bytes), and extracted —
+    against the SAME arithmetic DuckDB oracle as pp_extract_spans.
+    A green row proves span-sequence equality (kind, text, media_ref,
+    order) through actual PDF bytes, not just span tables."""
+    from .sources.pdf_bytes import extract_spans_from_pdf
+    from .sources.pdf_writer import bytes_config_for, render_pdfs
+
+    pdfs = render_pdfs(_ora_docs(spark, sf_dir))
+    out = extract_spans_from_pdf(
+        pdfs, config=bytes_config_for, include_media=True
+    )
+    s = out.select("doc_id", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.order").cast("long").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+@q(
+    "pp_pdf_parse_status",
+    _ora_cte()
+    + """
+SELECT doc_id,
+       'ok' AS status,
+       CAST(count(*) AS BIGINT) AS n_elements
+FROM elements GROUP BY doc_id""",
+)
+def pp_pdf_parse_status(spark, sf_dir):
+    """Per-document byte-path parse audit over rendered real PDFs: all
+    documents parse ok and the element count equals the spans-path
+    element count (oracle: the arithmetic layout CTE)."""
+    from .sources.pdf_bytes import pdf_parse_status
+    from .sources.pdf_writer import bytes_config_for, render_pdfs
+
+    pdfs = render_pdfs(_ora_docs(spark, sf_dir))
+    return pdf_parse_status(
+        pdfs, config=bytes_config_for, include_media=True
+    ).select("doc_id", "status", "n_elements")
+
+
+@q(
     "pp_media_passthrough",
     _ora_cte()
     + """

@@ -357,8 +357,9 @@ def pdf_parse_status(
     bytes_col: str = "pdf_bytes",
     password_col: Optional[str] = None,
     la_params: Optional[Dict[str, Any]] = None,
-    config: Optional[dict] = None,
+    config: Optional[Any] = None,
     extract_pages: Optional[Callable] = None,
+    include_media: bool = False,
 ) -> DataFrame:
     """Per-document parse audit: (doc_id, status ok|error, error,
     n_elements) — the byte-stream analogue of extract_spans' status
@@ -373,7 +374,7 @@ def pdf_parse_status(
             counts: List[int] = []
             for doc_id, doc in _iter_pdf_docs(
                 batch, bytes_col, password_col, la_params, config,
-                extract_pages,
+                extract_pages, include_media,
             ):
                 ids.append(doc_id)
                 if isinstance(doc, Exception):
