@@ -627,11 +627,13 @@ def main(quick: bool = False) -> None:
         _minhash_wide_table,
         _banded_table,
         _patho_banded_table,
+        _pdf_corpus_table,
         _simhash_table,
     )
 
     t0 = time.time()
     _elements(spark, SF_DIR).count()
+    _pdf_corpus_table(spark, SF_DIR).count()
     _docs_table(spark, SF_DIR).count()
     _emb_table(spark, SF_DIR).count()
     _events_table(spark, SF_DIR).count()

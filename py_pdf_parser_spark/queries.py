@@ -553,6 +553,23 @@ def pp_extract_spans(spark, sf_dir):
     )
 
 
+def _pdf_corpus_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle corpus rendered ONCE to real PDF bytes and persisted —
+    the byte-path analogue of the other shared corpus tables: in a
+    deployment PDFs ARRIVE as bytes, so the measured operator is
+    parse+extract, and rendering is fixture generation (pdf_writer)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__pdf_bytes__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .sources.pdf_writer import render_pdfs
+
+    df = render_pdfs(_ora_docs(spark, sf_dir)).persist()
+    df.count()
+    _TABLE_CACHE[key] = df
+    return df
+
+
 @q(
     "pp_pdf_roundtrip_extract",
     _ora_cte()
@@ -567,11 +584,12 @@ def pp_pdf_roundtrip_extract(spark, sf_dir):
     A green row proves span-sequence equality (kind, text, media_ref,
     order) through actual PDF bytes, not just span tables."""
     from .sources.pdf_bytes import extract_spans_from_pdf
-    from .sources.pdf_writer import bytes_config_for, render_pdfs
+    from .sources.pdf_writer import bytes_config_for
 
-    pdfs = render_pdfs(_ora_docs(spark, sf_dir))
     out = extract_spans_from_pdf(
-        pdfs, config=bytes_config_for, include_media=True
+        _pdf_corpus_table(spark, sf_dir),
+        config=bytes_config_for,
+        include_media=True,
     )
     s = out.select("doc_id", F.explode("spans").alias("s"))
     return s.select(
@@ -597,11 +615,12 @@ def pp_pdf_parse_status(spark, sf_dir):
     documents parse ok and the element count equals the spans-path
     element count (oracle: the arithmetic layout CTE)."""
     from .sources.pdf_bytes import pdf_parse_status
-    from .sources.pdf_writer import bytes_config_for, render_pdfs
+    from .sources.pdf_writer import bytes_config_for
 
-    pdfs = render_pdfs(_ora_docs(spark, sf_dir))
     return pdf_parse_status(
-        pdfs, config=bytes_config_for, include_media=True
+        _pdf_corpus_table(spark, sf_dir),
+        config=bytes_config_for,
+        include_media=True,
     ).select("doc_id", "status", "n_elements")
 
 

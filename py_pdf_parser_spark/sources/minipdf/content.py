@@ -176,7 +176,7 @@ class Interpreter:
         ctm: Matrix,
         depth: int = 0,
     ) -> None:
-        parser = Parser(data, 0)
+        parser = Parser(data, 0, refs=False)
         stack: List[Any] = []
         ts = TextState()
         gs_stack: List[Matrix] = []

@@ -34,7 +34,7 @@ def _utf16be(dst: bytes) -> str:
 def parse_tounicode(data: bytes) -> Dict[int, str]:
     """Parse a ToUnicode CMap stream into cid -> unicode string."""
     out: Dict[int, str] = {}
-    parser = Parser(data, 0)
+    parser = Parser(data, 0, refs=False)
     stack: List[Any] = []
     while True:
         try:

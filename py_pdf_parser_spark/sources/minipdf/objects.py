@@ -104,6 +104,23 @@ _REGULAR = bytes(
     b for b in range(256) if b not in _WHITESPACE and b not in _DELIMS
 )
 
+import re as _re
+
+# One compiled scan per token instead of a per-char Python loop — the
+# tokenizer dominates content-stream interpretation (profiled; see
+# PLANS.md round 4).  Strings and hex strings keep the explicit parsers
+# (escape/nesting state machines).
+_SCAN_RE = _re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"  # whitespace + comments
+    rb"(?:"
+    rb"(/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"  # 1: name
+    rb"|(<<)|(>>)|(\[)|(\])"  # 2-5: dict/array delims
+    rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"  # 6: number-or-keyword
+    rb")"
+)
+_INT_RE = _re.compile(rb"[+-]?\d+$")
+_WS_ONLY_RE = _re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*")
+
 _LITERAL_ESCAPES = {
     ord("n"): b"\n",
     ord("r"): b"\r",
@@ -148,30 +165,59 @@ class Lexer:
         kind in {'num', 'str', 'name', 'kw', 'arr_open', 'arr_close',
         'dict_open', 'dict_close'}.
         """
-        self._skip_ws()
         data, n = self.data, len(self.data)
+        m = _SCAN_RE.match(data, self.pos)
+        if m is not None and m.end() > m.start() and m.lastindex:
+            self.pos = m.end()
+            g = m.lastindex
+            tok = m.group(g)
+            if g == 1:  # /Name
+                raw = tok[1:]
+                if b"#" in raw:
+                    out = bytearray()
+                    i, ln = 0, len(raw)
+                    while i < ln:
+                        c = raw[i]
+                        if c == 0x23 and i + 2 < ln:
+                            try:
+                                out.append(int(raw[i + 1 : i + 3], 16))
+                                i += 3
+                                continue
+                            except ValueError:
+                                pass
+                        out.append(c)
+                        i += 1
+                    raw = bytes(out)
+                return ("name", Name(raw.decode("latin-1")))
+            if g == 2:
+                return ("dict_open", None)
+            if g == 3:
+                return ("dict_close", None)
+            if g == 4:
+                return ("arr_open", None)
+            if g == 5:
+                return ("arr_close", None)
+            # number or keyword
+            if _INT_RE.match(tok):
+                return ("num", int(tok))
+            first = tok[0]
+            if first in b"+-.0123456789":
+                try:
+                    return ("num", float(tok))
+                except ValueError:
+                    try:
+                        return (
+                            "num", float(tok.split(b".")[0] or b"0")
+                        )
+                    except ValueError:
+                        return ("kw", tok.decode("latin-1"))
+            return ("kw", tok.decode("latin-1"))
+        # not matched by the scan: string/hex/stray delimiters
+        self._skip_ws()
         pos = self.pos
         if pos >= n:
             return None
         b = data[pos]
-        if b == 0x2F:  # /Name
-            pos += 1
-            start = pos
-            out = bytearray()
-            while pos < n and data[pos] in _REGULAR:
-                c = data[pos]
-                if c == 0x23 and pos + 2 < n:  # #XX
-                    try:
-                        out.append(int(data[pos + 1 : pos + 3], 16))
-                        pos += 3
-                        continue
-                    except ValueError:
-                        pass
-                out.append(c)
-                pos += 1
-            self.pos = pos
-            del start
-            return ("name", Name(out.decode("latin-1")))
         if b == 0x28:  # ( literal string
             pos += 1
             depth = 1
@@ -287,8 +333,13 @@ class Parser:
     tuples for the caller (content-stream interpreter, xref reader).
     """
 
-    def __init__(self, data: bytes, pos: int = 0) -> None:
+    def __init__(self, data: bytes, pos: int = 0, refs: bool = True) -> None:
+        # refs=False skips the "N G R" two-token lookahead — content
+        # streams and CMaps are self-contained by spec (no indirect
+        # references), and the lookahead costs two extra token pulls
+        # per number in number-dominated streams.
         self.lexer = Lexer(data, pos)
+        self.refs = refs
         self._pushback: List[Tuple[str, Any]] = []
 
     @property
@@ -314,7 +365,7 @@ class Parser:
             raise PDFSyntaxError("unexpected EOF")
         kind, value = tok
         if kind == "num":
-            if isinstance(value, int):
+            if isinstance(value, int) and self.refs:
                 # maybe "N G R"
                 tok2 = self._next()
                 if tok2 is not None and tok2[0] == "num" and isinstance(
