@@ -110,47 +110,28 @@ class Interpreter:
         return font
 
     # ------------------------------------------------------------ chars
-    def _emit_char(self, ts: TextState, ctm: Matrix, cid: int) -> float:
-        font = ts.font
-        scaling = ts.scaling * 0.01
-        try:
-            text = font.to_unichr(cid)
-        except Exception:  # noqa: BLE001
-            text = f"(cid:{cid})"
-        adv = font.char_width(cid) * ts.fontsize * scaling
-        descent = font.get_descent() * ts.fontsize
-        x, y = ts.linepos
-        matrix = translate_matrix(mult_matrix(ts.matrix, ctm), (x, y))
-        p0 = apply_matrix_pt(matrix, (0.0, descent + ts.rise))
-        p1 = apply_matrix_pt(matrix, (adv, descent + ts.rise + ts.fontsize))
-        x0, y0 = p0
-        x1, y1 = p1
-        if x1 < x0:
-            x0, x1 = x1, x0
-        if y1 < y0:
-            y0, y1 = y1, y0
-        a, b, c, d, _e, _f = matrix
-        upright = 0 < a * d * scaling and b * c <= 0
-        ch = Char(
-            (x0, y0, x1, y1),
-            text,
-            font.fontname,
-            (y1 - y0) if upright else (x1 - x0),
-            adv,
-            upright,
-        )
-        if self.figure_stack:
-            self.figure_stack[-1].add_char(ch)
-        else:
-            self.page.chars.append(ch)
-        return adv
-
     def _show(self, ts: TextState, ctm: Matrix, seq: List[Any]) -> None:
         font = ts.font
         scaling = ts.scaling * 0.01
         charspace = ts.charspace * scaling
         wordspace = 0.0 if font.multibyte else ts.wordspace * scaling
-        dxscale = 0.001 * ts.fontsize * scaling
+        fontsize = ts.fontsize
+        dxscale = 0.001 * fontsize * scaling
+        rise = ts.rise
+        # loop-invariant per show op: combined matrix, glyph-box y
+        # extents, sink, uprightness, unicode/width lookups
+        a, b, c, d, e, f = mult_matrix(ts.matrix, ctm)
+        dy0 = font.get_descent() * fontsize + rise
+        dy1 = dy0 + fontsize
+        upright = 0 < a * d * scaling and b * c <= 0
+        fontname = font.fontname
+        to_unichr = font.to_unichr
+        char_width = font.char_width
+        sink = (
+            self.figure_stack[-1].chars
+            if self.figure_stack
+            else self.page.chars
+        )
         x, y = ts.linepos
         need_charspace = False
         for obj in seq:
@@ -161,8 +142,34 @@ class Interpreter:
                 for cid in font.decode(obj):
                     if need_charspace:
                         x += charspace
-                    ts.linepos = (x, y)
-                    x += self._emit_char(ts, ctm, cid)
+                    try:
+                        text = to_unichr(cid)
+                    except Exception:  # noqa: BLE001
+                        text = f"(cid:{cid})"
+                    adv = char_width(cid) * fontsize * scaling
+                    # bbox corners (0, dy0)..(adv, dy1) through the
+                    # matrix translated to the pen position (x, y)
+                    ex = x * a + y * c + e
+                    ey = x * b + y * d + f
+                    x0 = dy0 * c + ex
+                    y0 = dy0 * d + ey
+                    x1 = adv * a + dy1 * c + ex
+                    y1 = adv * b + dy1 * d + ey
+                    if x1 < x0:
+                        x0, x1 = x1, x0
+                    if y1 < y0:
+                        y0, y1 = y1, y0
+                    sink.append(
+                        Char(
+                            (x0, y0, x1, y1),
+                            text,
+                            fontname,
+                            (y1 - y0) if upright else (x1 - x0),
+                            adv,
+                            upright,
+                        )
+                    )
+                    x += adv
                     if cid == 32 and wordspace:
                         x += wordspace
                     need_charspace = True
