@@ -188,7 +188,14 @@ class Lexer:
                         out.append(c)
                         i += 1
                     raw = bytes(out)
-                return ("name", Name(raw.decode("latin-1")))
+                # pdfminer.six psparser decodes name bytes as UTF-8
+                # when valid (falling back to the raw bytes); mirror
+                # that with a latin-1 fallback so the result is always
+                # str and byte-lossless.
+                try:
+                    return ("name", Name(raw.decode("utf-8")))
+                except UnicodeDecodeError:
+                    return ("name", Name(raw.decode("latin-1")))
             if g == 2:
                 return ("dict_open", None)
             if g == 3:

@@ -338,6 +338,45 @@ def extract_spans_from_pdf(
     return docs_df.select(*cols).mapInArrow(gen, EXTRACTED_SCHEMA)
 
 
+def extract_spans_from_pdf_rebalanced(
+    spark,
+    docs_df: DataFrame,
+    heavy_threshold_bytes: int = 256 * 1024,
+    heavy_partitions: Optional[int] = None,
+    bytes_col: str = "pdf_bytes",
+    **kwargs: Any,
+) -> DataFrame:
+    """Skew-aware byte-path extraction (per-branch kernels, union AFTER
+    extraction — same shape as pipeline.extract_spans_rebalanced and
+    for the same reason: a pre-kernel union serializes the scans).
+
+    Cost signal: an ingest-persisted ``n_bytes`` column when present
+    (pushes to parquet row-group stats, so the branch scans read
+    disjoint bytes), else ``length(pdf_bytes)`` computed in the scan
+    stage.  Span counts are unknown before parsing a PDF, so byte size
+    is the only pre-parse skew signal — and the kernel is near-linear
+    in bytes, so byte-bounded branches bound task time (PLANS.md
+    round-1 item 7's analysis applies unchanged)."""
+    from pyspark.sql import functions as F
+
+    cost = (
+        F.col("n_bytes")
+        if "n_bytes" in docs_df.columns
+        else F.length(bytes_col)
+    )
+    if heavy_partitions is None:
+        heavy_partitions = spark.sparkContext.defaultParallelism
+    light = docs_df.where(cost <= heavy_threshold_bytes)
+    heavy = docs_df.where(cost > heavy_threshold_bytes).repartition(
+        heavy_partitions
+    )
+    return extract_spans_from_pdf(
+        light, bytes_col=bytes_col, **kwargs
+    ).unionByName(
+        extract_spans_from_pdf(heavy, bytes_col=bytes_col, **kwargs)
+    )
+
+
 PDF_STATUS_SCHEMA = (
     "doc_id string, status string, error string, n_elements long"
 )

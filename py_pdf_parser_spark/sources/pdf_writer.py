@@ -109,15 +109,18 @@ def render_pdf(
     doc_id: str,
     spans: Sequence[Span],
     scale: float = 6.0,
+    layout: Optional[Dict] = None,
 ) -> bytes:
     """One synthetic document -> real PDF bytes.
 
-    Layout comes from the SAME pure function the spans-path parse
+    Layout defaults to the SAME pure function the spans-path parse
     kernel uses, so the rendered geometry is the spans path's geometry
-    times ``scale``.
+    times ``scale``; pass ``layout`` explicitly for ad-hoc documents
+    (property-based round-trip tests).
     """
     offsets = np.asarray([s[3] for s in spans], dtype=np.int64)
-    layout = layout_for(doc_id, offsets)
+    if layout is None:
+        layout = layout_for(doc_id, offsets)
     page_of = np.asarray(layout["page"], dtype=np.int64)
     x0 = np.asarray(layout["x0"], dtype=np.float64) * scale
     y0 = np.asarray(layout["y0"], dtype=np.float64) * scale
@@ -161,7 +164,11 @@ def render_pdf(
         b"stream\n\x7f\nendstream"
     )
 
-    page_ids = sorted(set(int(p) for p in page_of))
+    # Emit EVERY physical page 1..max, blank ones included: a real PDF
+    # whose first content sits on page 2 still has a page 1, and the
+    # loader's blank-page skip preserves physical page numbers
+    # (page.pageid), so sparse layouts round-trip exactly.
+    page_ids = list(range(1, int(page_of.max()) + 1)) if len(page_of) else []
     kids: List[int] = []
     for pid in page_ids:
         idxs = [i for i in range(len(spans)) if int(page_of[i]) == pid]

@@ -128,3 +128,95 @@ class TestSparkRoundtrip:
         rows = extract_spans_from_pdf(df).collect()
         assert rows[0].status == "error"
         assert rows[0].n_spans == 0
+
+
+class TestBytePathScaleMachinery:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from py_pdf_parser_spark.session import get_spark
+
+        return get_spark(cores=4)
+
+    def test_rebalanced_equals_plain(self, spark):
+        """Byte-size skew split (giant PDFs routed through a round-robin
+        exchange) must not change results, with or without an
+        ingest-persisted n_bytes column."""
+        from pyspark.sql import functions as F
+
+        from py_pdf_parser_spark.kernel.layout import spans_for
+        from py_pdf_parser_spark.sources.pdf_bytes import (
+            extract_spans_from_pdf_rebalanced,
+        )
+
+        rows = [
+            (d, render_pdf(d, spans_for(d)))
+            for d in [f"ora-{i:06d}" for i in range(12)]
+            + ["bigmedia-000001"]  # ~0.5 MB: lands in the heavy branch
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, pdf_bytes binary")
+
+        def result(frame):
+            return sorted(
+                (r.doc_id, r.status, tuple(tuple(s) for s in (r.spans or [])))
+                for r in frame.collect()
+            )
+
+        plain = result(
+            extract_spans_from_pdf(
+                df, config=bytes_config_for, include_media=True
+            )
+        )
+        rebal = result(
+            extract_spans_from_pdf_rebalanced(
+                spark, df, config=bytes_config_for, include_media=True
+            )
+        )
+        assert rebal == plain
+        with_col = df.withColumn("n_bytes", F.length("pdf_bytes"))
+        rebal2 = result(
+            extract_spans_from_pdf_rebalanced(
+                spark, with_col, config=bytes_config_for, include_media=True
+            )
+        )
+        assert rebal2 == plain
+
+    def test_stream_pdf_extract_matches_batch(self, spark, tmp_path):
+        """Streaming REAL-PDF ingestion == batch byte-path extraction."""
+        from py_pdf_parser_spark.kernel.layout import spans_for
+        from py_pdf_parser_spark.streaming import stream_pdf_extract
+
+        rows = [
+            (d, render_pdf(d, spans_for(d)))
+            for d in [f"ora-{i:06d}" for i in range(8)]
+            + [f"memo-{i:06d}" for i in range(4)]
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, pdf_bytes binary")
+        in_dir = str(tmp_path / "pdf_in")
+        df.repartition(3).write.parquet(in_dir)
+
+        out_dir = str(tmp_path / "pdf_out")
+        ckpt = str(tmp_path / "pdf_ckpt")
+        query = stream_pdf_extract(
+            spark, in_dir, out_dir, ckpt,
+            config=bytes_config_for, include_media=True,
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        def result(frame):
+            return sorted(
+                (r.doc_id, r.status, tuple(tuple(s) for s in (r.spans or [])))
+                for r in frame.collect()
+            )
+
+        got = result(spark.read.parquet(out_dir).drop("batch_id"))
+        want = result(
+            extract_spans_from_pdf(
+                spark.read.parquet(in_dir),
+                config=bytes_config_for,
+                include_media=True,
+            )
+        )
+        assert got == want
