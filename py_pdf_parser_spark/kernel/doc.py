@@ -30,6 +30,7 @@ the columnar analogue of the reference's ``frozenset[int]``.
 
 from __future__ import annotations
 
+import itertools
 import re
 from typing import Callable, Dict, List, Optional, Sequence, Union
 
@@ -129,11 +130,103 @@ def _mode_first_seen(values):
     """``Counter(values).most_common(1)[0][0]`` semantics
     (components.py:174-182,199-207): the most common value; ties broken
     by FIRST insertion order (Counter preserves first-seen order and
-    ``nlargest``/``max`` return the earliest maximal item)."""
+    ``nlargest``/``max`` return the earliest maximal item).
+
+    Reference model only (differential tests); the batch path is
+    :func:`_modes_first_seen_flat`."""
     counts: Dict = {}
     for v in values:
         counts[v] = counts.get(v, 0) + 1
     return max(counts.items(), key=lambda kv: kv[1])[0]
+
+
+def _modes_first_seen_flat(values, lengths, codes=None, decode=None):
+    """Vectorized per-group :func:`_mode_first_seen` over a FLAT payload.
+
+    ``values``: the concatenated per-element char values (group g owns
+    the slice ``[cum(lengths[:g]), cum(lengths[:g+1]))``).  Returns an
+    object array of length ``len(lengths)`` holding each non-empty
+    group's mode (``None`` for empty groups).  Tie-break matches
+    Counter exactly: among max-count values, the one whose first
+    occurrence in the group is earliest wins, and the returned object
+    is that first-seen instance (Counter keeps the first-seen key).
+
+    ``codes``/``decode``: optional pre-factorized form — ``codes`` are
+    small non-negative ints and the winner is ``decode[code]``; skips
+    the ``np.unique`` factorization (object-array sorts cost a Python
+    compare per step, so callers that already know the alphabet, e.g.
+    the synthetic char payload, pass codes directly).
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n_groups = len(lengths)
+    modes = np.full(n_groups, None, dtype=object)
+    if codes is None:
+        values = np.asarray(values)
+        if len(values) == 0:
+            return modes
+        uniq, codes = np.unique(values, return_inverse=True)
+    else:
+        codes = np.asarray(codes, dtype=np.int64)
+        if len(codes) == 0:
+            return modes
+    group = np.repeat(np.arange(n_groups, dtype=np.int64), lengths)
+    # Stable sort by (group, code): runs of one (group, code) pair stay
+    # in flat-position order, so a run's first element IS the pair's
+    # first occurrence within its group.
+    order = np.lexsort((codes, group))
+    g_sorted = group[order]
+    c_sorted = codes[order]
+    is_start = np.empty(len(order), dtype=bool)
+    is_start[0] = True
+    is_start[1:] = (g_sorted[1:] != g_sorted[:-1]) | (
+        c_sorted[1:] != c_sorted[:-1]
+    )
+    starts = np.flatnonzero(is_start)
+    counts = np.diff(np.append(starts, len(order)))
+    first_pos = order[starts]
+    pair_group = g_sorted[starts]
+    # Winner per group = max count, tie -> earliest first occurrence:
+    # sort pairs by (group, -count, first_pos) and take each group's
+    # leading pair.
+    sel = np.lexsort((first_pos, -counts, pair_group))
+    lead = np.empty(len(sel), dtype=bool)
+    lead[0] = True
+    lead[1:] = pair_group[sel][1:] != pair_group[sel][:-1]
+    winners = sel[lead]
+    if decode is not None:
+        won = np.asarray(decode, dtype=object)[c_sorted[starts][winners]]
+    else:
+        won = values[first_pos[winners]]
+    modes[pair_group[winners]] = won
+    return modes
+
+
+def _flatten_payload(payload):
+    """Normalize a per-char payload to flat form.
+
+    Accepts a list-of-lists (one char-value list per element, input
+    order), ``(flat_values, lengths)``, or ``(codes, lengths, decode)``
+    — the latter two are the zero-copy forms the Arrow/synthetic parse
+    paths produce.  Returns ``(lengths, mode_kwargs)`` for
+    :func:`_modes_first_seen_flat`.
+    """
+    if isinstance(payload, tuple):
+        if len(payload) == 3:
+            codes, lengths, decode = payload
+            return np.asarray(lengths, dtype=np.int64), {
+                "values": None,
+                "codes": codes,
+                "decode": decode,
+            }
+        flat, lengths = payload
+        return np.asarray(lengths, dtype=np.int64), {"values": flat}
+    lengths = np.fromiter(
+        (len(v) for v in payload), dtype=np.int64, count=len(payload)
+    )
+    flat = np.asarray(
+        list(itertools.chain.from_iterable(payload)), dtype=object
+    )
+    return lengths, {"values": flat}
 
 
 class Doc:
@@ -279,12 +372,10 @@ class Doc:
                 # Mode of per-char fontnames, first-seen tie-break
                 # (components.py:174-182); empty char list (media spans)
                 # falls back to the layout value.
-                base = np.asarray(
-                    [
-                        _mode_first_seen(cf[i]) if len(cf[i]) else base[pos]
-                        for pos, i in enumerate(self._order)
-                    ],
-                    dtype=object,
+                lengths, kwargs = _flatten_payload(cf)
+                modes = _modes_first_seen_flat(lengths=lengths, **kwargs)
+                base = np.where(
+                    lengths[self._order] > 0, modes[self._order], base
                 )
             self._font_name = base
         return self._font_name
@@ -300,8 +391,10 @@ class Doc:
         if cs is not None:
             # Mode of RAW per-char heights first, THEN round the winner
             # (components.py:199-209) — not the mode of rounded values.
+            lengths, kwargs = _flatten_payload(cs)
+            modes = _modes_first_seen_flat(lengths=lengths, **kwargs)
             sizes = [
-                _mode_first_seen(cs[i]) if len(cs[i]) else sizes[pos]
+                modes[i] if lengths[i] else sizes[pos]
                 for pos, i in enumerate(self._order)
             ]
         # Python round: half-to-even; int input stays int (load-bearing for

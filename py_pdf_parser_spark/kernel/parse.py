@@ -47,16 +47,20 @@ def doc_from_arrays(
         # the sandbox stand-in for pdfminer's per-LTChar fontname/height
         # stream (components.py:174-182,199-207): deterministic and
         # SQL-reproducible so the font-MODE path (Counter semantics) can
-        # be oracle-verified end to end.
-        char_fonts = [
-            [f"cf{ord(c) % 3}" for c in t] if isinstance(t, str) else []
-            for t in texts
-        ]
-        char_sizes = [
-            [8.0 + (ord(c) % 5) * 0.5 for c in t] if isinstance(t, str)
-            else []
-            for t in texts
-        ]
+        # be oracle-verified end to end.  Built FLAT (one utf-32 decode
+        # of the concatenated text, vectorized code math) — values are
+        # [f"cf{ord(c) % 3}"] and [8.0 + (ord(c) % 5) * 0.5] per char.
+        lengths = np.fromiter(
+            (len(t) if isinstance(t, str) else 0 for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        joined = "".join(t for t in texts if isinstance(t, str))
+        ords = np.frombuffer(
+            joined.encode("utf-32-le"), dtype="<u4"
+        ).astype(np.int64)
+        char_fonts = (ords % 3, lengths, ["cf0", "cf1", "cf2"])
+        char_sizes = (8.0 + (ords % 5) * 0.5, lengths)
     return Doc(
         doc_id,
         page=layout["page"],

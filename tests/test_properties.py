@@ -180,6 +180,76 @@ class TestModeProperties:
         want = round(Counter(heights).most_common(1)[0][0], precision)
         assert round(_mode_first_seen(heights), precision) == want
 
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]), max_size=12
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_flat_modes_match_counter_per_group(self, groups):
+        """The vectorized flat batch kernel == per-group Counter, for
+        all three payload forms (list-of-lists, flat values, codes)."""
+        import numpy as np
+        from collections import Counter
+
+        from py_pdf_parser_spark.kernel.doc import (
+            _flatten_payload,
+            _modes_first_seen_flat,
+        )
+
+        want = [
+            Counter(g).most_common(1)[0][0] if g else None for g in groups
+        ]
+
+        lengths, kwargs = _flatten_payload(groups)
+        assert list(_modes_first_seen_flat(lengths=lengths, **kwargs)) == want
+
+        flat = [v for g in groups for v in g]
+        lens = np.array([len(g) for g in groups], dtype=np.int64)
+        assert list(_modes_first_seen_flat(flat, lens)) == want
+
+        alphabet = ["a", "b", "c", "d"]
+        codes = np.array([alphabet.index(v) for v in flat], dtype=np.int64)
+        assert (
+            list(
+                _modes_first_seen_flat(
+                    None, lens, codes=codes, decode=alphabet
+                )
+            )
+            == want
+        )
+
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=1.0, max_value=9.0,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                max_size=10,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_flat_modes_match_counter_float_groups(self, groups):
+        import numpy as np
+        from collections import Counter
+
+        from py_pdf_parser_spark.kernel.doc import _modes_first_seen_flat
+
+        want = [
+            Counter(g).most_common(1)[0][0] if g else None for g in groups
+        ]
+        flat = np.array(
+            [v for g in groups for v in g], dtype=np.float64
+        )
+        lens = np.array([len(g) for g in groups], dtype=np.int64)
+        assert list(_modes_first_seen_flat(flat, lens)) == want
+
 
 class TestChunkCapProperty:
     """Chunked bucket self-joins: every within-chunk pair is a
