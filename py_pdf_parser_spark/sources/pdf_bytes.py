@@ -268,6 +268,38 @@ def _iter_pdf_docs(
             yield doc_id, err
 
 
+def read_pdf_dir(
+    spark,
+    path: str,
+    recursive: bool = False,
+    glob: str = "*.pdf",
+) -> DataFrame:
+    """Distributed ``load_file`` (reference loaders.py:29-41): a
+    directory of real ``.pdf`` files -> ``(doc_id, pdf_bytes, n_bytes,
+    mtime)`` via Spark's built-in ``binaryFile`` source.
+
+    ``doc_id`` is the file URI.  ``n_bytes`` comes from the FILE STATUS
+    (Spark's ``length`` column), so downstream skew routing
+    (``extract_spans_from_pdf_rebalanced``) splits light/heavy without
+    reading any content; ``pathGlobFilter`` prunes non-PDFs at listing
+    time, before any byte is fetched.  Feed the result straight into
+    ``parse_pdf_bytes`` / ``extract_spans_from_pdf``.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile").option(
+        "pathGlobFilter", glob
+    )
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path).select(
+        F.col("path").alias("doc_id"),
+        F.col("content").alias("pdf_bytes"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("mtime"),
+    )
+
+
 def parse_pdf_bytes(
     docs_df: DataFrame,
     bytes_col: str = "pdf_bytes",

@@ -220,3 +220,55 @@ class TestBytePathScaleMachinery:
             )
         )
         assert got == want
+
+    def test_read_pdf_dir_roundtrip(self, spark, tmp_path):
+        """A directory of real .pdf files (the reference's load_file
+        surface, distributed): binaryFile listing -> parse -> extract
+        equals the in-memory byte path; non-PDFs pruned at listing;
+        n_bytes comes from file status so the skew router needs no
+        content read."""
+        from py_pdf_parser_spark.sources.pdf_bytes import (
+            extract_spans_from_pdf_rebalanced,
+            read_pdf_dir,
+        )
+
+        pdf_dir = tmp_path / "pdfs"
+        pdf_dir.mkdir()
+        doc_ids = [f"ora-{i:06d}" for i in range(6)] + ["memo-000000"]
+        blobs = {d: render_pdf(d, spans_for(d)) for d in doc_ids}
+        for d, blob in blobs.items():
+            (pdf_dir / f"{d}.pdf").write_bytes(blob)
+        (pdf_dir / "notes.txt").write_text("not a pdf")
+
+        df = read_pdf_dir(spark, str(pdf_dir))
+        rows = df.select("doc_id", "n_bytes").collect()
+        assert len(rows) == len(doc_ids)  # .txt pruned by the glob
+        by_name = {r.doc_id.rsplit("/", 1)[-1]: r.n_bytes for r in rows}
+        for d, blob in blobs.items():
+            assert by_name[f"{d}.pdf"] == len(blob)
+
+        # doc_id is the file URI — strip to the family id for configs
+        from pyspark.sql import functions as F
+
+        named = df.withColumn(
+            "doc_id",
+            F.regexp_replace(
+                F.element_at(F.split("doc_id", "/"), -1), r"\.pdf$", ""
+            ),
+        )
+        got = sorted(
+            (r.doc_id, r.status, tuple(tuple(s) for s in (r.spans or [])))
+            for r in extract_spans_from_pdf_rebalanced(
+                spark, named, config=bytes_config_for, include_media=True
+            ).collect()
+        )
+        mem = spark.createDataFrame(
+            list(blobs.items()), "doc_id string, pdf_bytes binary"
+        )
+        want = sorted(
+            (r.doc_id, r.status, tuple(tuple(s) for s in (r.spans or [])))
+            for r in extract_spans_from_pdf(
+                mem, config=bytes_config_for, include_media=True
+            ).collect()
+        )
+        assert got == want
