@@ -110,10 +110,15 @@ class Document:
     def _load_classic_xref(self, parser: Parser) -> Optional[int]:
         data = self.data
         while True:
+            # Subsection headers are PLAIN integers (spec §7.5.4) — the
+            # "N G R" reference lookahead would pull entry bytes through
+            # the lexer past the position we read entries from.
+            parser.refs = False
             parser.lexer._skip_ws()
             pos = parser.pos
             tok = parser.parse_object()
             if tok == ("kw", "trailer"):
+                parser.refs = True  # trailer holds references (/Root N G R)
                 trailer = parser.parse_object()
                 if not isinstance(trailer, dict):
                     raise PDFSyntaxError("trailer is not a dict")

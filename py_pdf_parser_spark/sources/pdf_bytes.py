@@ -40,13 +40,25 @@ from ..kernel.doc import Doc
 DEFAULT_LA_PARAMS: Dict[str, Any] = {"boxes_flow": None}
 
 
+_EXTRACTOR_CACHE: Optional[Tuple[Callable, bool]] = None
+
+
 def _pdfminer_extract_pages() -> Tuple[Callable, bool]:
     """Resolve the byte-stream extractor: (run, is_real_pdfminer).
 
     Real pdfminer.six wins when importable (exact reference
     dependency); otherwise the engine's own minipdf parser
     (sources/minipdf) — same page/textbox surface, validated against
-    the reference's golden PDFs."""
+    the reference's golden PDFs.  Resolved ONCE per process: Python
+    does not cache FAILED imports, so without the memo every document
+    would redo the sys.path search for the absent pdfminer."""
+    global _EXTRACTOR_CACHE
+    if _EXTRACTOR_CACHE is None:
+        _EXTRACTOR_CACHE = _resolve_extractor()
+    return _EXTRACTOR_CACHE
+
+
+def _resolve_extractor() -> Tuple[Callable, bool]:
     try:
         from pdfminer.high_level import extract_pages
         from pdfminer.layout import LAParams

@@ -202,3 +202,34 @@ class TestGoldenDocuments:
         )
         assert [p.pageid for p in pages] == [1, 2]
         assert all(p.width > 0 and p.height > 0 for p in pages)
+
+    def test_classic_xref_parses_without_reconstruction(self, monkeypatch):
+        """The classic xref table is the HAPPY path, not the fallback:
+        subsection headers are plain ints (spec 7.5.4) and must be read
+        without the N-G-R reference lookahead pulling entry bytes
+        through the lexer (a bug the full-file reconstruction scan used
+        to mask).  Every reference example PDF and a writer PDF must
+        load their xref with the last-resort scan disabled."""
+        import glob
+
+        from py_pdf_parser_spark.kernel.layout import spans_for
+        from py_pdf_parser_spark.sources.minipdf import document as docmod
+        from py_pdf_parser_spark.sources.pdf_writer import render_pdf
+
+        def boom(self):
+            raise AssertionError("xref reconstruction fallback hit")
+
+        monkeypatch.setattr(docmod.Document, "_reconstruct_xref", boom)
+
+        blobs = [render_pdf("ora-000000", spans_for("ora-000000"))]
+        blobs += [
+            _read(p)
+            for p in sorted(
+                glob.glob(
+                    "/root/reference/docs/source/example_files/*.pdf"
+                )
+            )
+        ]
+        assert len(blobs) >= 6
+        for blob in blobs:
+            assert len(docmod.Document(blob).xref) > 0
