@@ -3105,10 +3105,10 @@ _RETOUCHED = {
     "td_minhash_signatures", "td_lsh_candidate_pairs",
     "td_lsh_pairs_capped", "td_dup_clusters", "td_corpus_prep",
     "td_jaccard_lsh_verified",
-    # NOT pp_font_mode/pp_ordsum_table: the r4 font-mode vectorization
-    # was measured slower and discarded (PLANS.md) — no result-affecting
-    # change since their fresh r3 rows, and the freed window slots let
-    # two more stale r2-era rows rotate in.
+    # font-mode vectorization shipped (one flat lexsort call per doc,
+    # PLANS.md r4 correction) — result-identical by differential test,
+    # but the kernel path changed after pp_font_mode's r3 row.
+    "pp_font_mode",
     # numeric HTML entity decoding (r4)
     "html_block_features", "html_main_text", "html_content_spans",
     "html_title", "html_link_stats", "html_dedup_main_text",
