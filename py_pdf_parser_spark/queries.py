@@ -2106,6 +2106,111 @@ def emb_lsh_multiprobe(spark, sf_dir):
     return similarity.lsh_topk(_emb_table(spark, sf_dir), multi_probe=True)
 
 
+def _kmeans_oracle() -> str:
+    """Two Lloyd's iterations in plain SQL, mirroring
+    similarity.kmeans_centroids step for step: init = first 16 vectors,
+    assignment = round(cos, 6) DESC with cell_id tie-break, update =
+    per-(cell, position) mean rounded to 6dp (so both engines iterate
+    on identical component values)."""
+    it = """
+, s{n} AS (
+  SELECT e.vec_id, c.cell_id,
+         round(list_cosine_similarity(e.emb, c.c), 6) AS cos
+  FROM e CROSS JOIN c{p} c
+), a{n} AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell_id) AS rn
+    FROM s{n}) WHERE rn = 1
+), x{n} AS (
+  SELECT a.cell_id, unnest(generate_series(1, len(e.emb))) AS pos,
+         e.emb AS emb
+  FROM a{n} a JOIN e USING (vec_id)
+), m{n} AS (
+  SELECT cell_id, pos, round(avg(emb[pos]), 6) AS m
+  FROM x{n} GROUP BY cell_id, pos
+), c{n} AS (
+  SELECT cell_id, list(m ORDER BY pos) AS c FROM m{n} GROUP BY cell_id
+)"""
+    return (
+        """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cell_id, emb AS c FROM e WHERE vec_id < 16
+)"""
+        + it.format(n=1, p=0)
+        + it.format(n=2, p=1)
+    )
+
+
+def _kmeans_centroids_oracle() -> str:
+    return (
+        _kmeans_oracle()
+        + """
+SELECT cell_id, CAST(pos - 1 AS BIGINT) AS pos, m AS val FROM m2"""
+    )
+
+
+def _kmeans_ivf_oracle() -> str:
+    """IVF search against the TRAINED codebook (c2): same search shape
+    as emb_ivf_topk's oracle, centroids swapped for the k-means CTE."""
+    return (
+        _kmeans_oracle()
+        + """
+, scored AS (
+  SELECT e.vec_id, e.emb, c.cell_id,
+         list_cosine_similarity(e.emb, c.c) AS c_cos
+  FROM e CROSS JOIN c2 c
+), assigned AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, emb AS q_emb, cell_id AS q_cell
+  FROM assigned WHERE vec_id < 10
+), j AS (
+  SELECT q.q_id, a.vec_id,
+         round(list_cosine_similarity(q.q_emb, a.emb), 4) AS cos
+  FROM q JOIN assigned a ON a.cell_id = q.q_cell AND a.vec_id != q.q_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+      AS rank
+  FROM j
+)
+SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
+    )
+
+
+@q("emb_kmeans_centroids", _kmeans_centroids_oracle())
+def emb_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd's k-means codebook (2 iterations, spherical
+    assignment): the REAL trained centroid table for IVF coarse
+    quantization — broadcast-assign + (cell, pos) mean update, corpus
+    never shuffled.  Output exploded to (cell_id, pos, val) scalars."""
+    cents = similarity.kmeans_centroids(
+        _emb_table(spark, sf_dir), n_iters=2
+    )
+    return cents.select(
+        "cell_id", F.posexplode("centroid").alias("pos", "val")
+    ).select(
+        "cell_id", F.col("pos").cast("long").alias("pos"), "val"
+    )
+
+
+@q("emb_kmeans_ivf_topk", _kmeans_ivf_oracle())
+def emb_kmeans_ivf_topk(spark, sf_dir):
+    """IVF ANN over the TRAINED k-means codebook (train -> assign ->
+    bucketed exact rerank, end to end): the composed deployment shape —
+    kmeans_centroids feeds ivf_topk's centroids parameter."""
+    emb = _emb_table(spark, sf_dir)
+    cents = similarity.kmeans_centroids(emb, n_iters=2)
+    return similarity.ivf_topk(emb, centroids=cents)
+
+
 @q(
     "emb_dup_pairs",
     _emb_lsh_cte()

@@ -121,15 +121,29 @@ def ivf_assign(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
     )
 
 
-def _ivf_scored(emb: DataFrame, n_cells: int) -> DataFrame:
+def _ivf_scored(
+    emb: DataFrame, n_cells: int, centroids: DataFrame = None
+) -> DataFrame:
     """(vec_id, embedding, _norm, cell_id, rn) — every vector scored
     against every centroid, rn = 1-based nearest-cell rank.  Broadcast
-    centroids + one narrow rank window; no corpus shuffle."""
-    cents = with_norm(emb.where(F.col("vec_id") < n_cells)).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("_norm").alias("n_cent"),
-    )
+    centroids + one narrow rank window; no corpus shuffle.
+
+    ``centroids``: optional trained codebook ``(cell_id, centroid)``
+    (kmeans_centroids); default = the deterministic first-n-vectors
+    stand-in."""
+    if centroids is not None:
+        cents = (
+            centroids.select(
+                "cell_id", F.col("centroid").alias("c_emb")
+            )
+            .withColumn("n_cent", F.expr(_norm("c_emb")))
+        )
+    else:
+        cents = with_norm(emb.where(F.col("vec_id") < n_cells)).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("_norm").alias("n_cent"),
+        )
     corpus = with_norm(emb)
     dot = F.expr(DOT.format(a="embedding", b="c_emb"))
     scored = corpus.join(F.broadcast(cents)).withColumn(
@@ -146,12 +160,15 @@ def _ivf_scored(emb: DataFrame, n_cells: int) -> DataFrame:
 def ivf_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5,
     n_cells: int = N_IVF_CELLS, n_probe: int = 1,
+    centroids: DataFrame = None,
 ) -> DataFrame:
     """Approximate top-k: exact rerank within the query's ``n_probe``
     nearest IVF cells.  Multi-probe recovers most single-probe recall
     loss at the cost of probing n_probe buckets per query — the
-    candidate set stays bucketed (never the whole corpus)."""
-    scored = _ivf_scored(emb, n_cells)
+    candidate set stays bucketed (never the whole corpus).  Pass
+    ``centroids`` (kmeans_centroids output) to search against the
+    trained codebook instead of the first-n-vectors stand-in."""
+    scored = _ivf_scored(emb, n_cells, centroids=centroids)
     corpus = scored.where(F.col("rn") == 1).select(
         "vec_id", "embedding", "cell_id", F.col("_norm").alias("n_c")
     )
@@ -175,6 +192,78 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = N_IVF_CELLS,
+    n_iters: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — a REAL
+    trained codebook for IVF coarse quantization (upgrades ivf_assign's
+    first-n-vectors stand-in; spherical variant: max-cosine assignment,
+    per-cell component mean update).
+
+    Deterministic and SQL-reproducible by construction:
+    * init = the first ``n_cells`` corpus vectors,
+    * assignment ranks ``round(cos, round_dp)`` descending with
+      ``cell_id`` ascending tie-break (FP summation-order noise is
+      ~1e-15 — nine orders below the rounding step),
+    * updated centroid components are ``round()``ed, so successive
+      iterations operate on identical values in any engine.
+
+    Per iteration the corpus is scored against a BROADCAST centroid
+    table (narrow — the corpus never shuffles) and the update
+    aggregates posexploded components on small ``(cell_id, pos)`` keys
+    (rows x dim doubles, map-side combinable).  At web scale k-means
+    training runs over a deterministic hash sample (dedup.hash_sample)
+    and the codebook is reused corpus-wide, so the explode never sees
+    the full 100 TB.  A cell that captures no vectors drops out
+    (classic Lloyd's; deterministic, identical in the SQL oracle).
+
+    Returns ``(cell_id, centroid array<double>)``.
+    """
+    corpus = with_norm(emb).select("vec_id", "embedding", "_norm")
+    cents = corpus.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x as double))"
+        ).alias("c_emb"),
+    )
+    for _ in range(n_iters):
+        cents = cents.withColumn("n_cent", F.expr(_norm("c_emb")))
+        dot = F.expr(DOT.format(a="embedding", b="c_emb"))
+        scored = corpus.join(F.broadcast(cents)).withColumn(
+            "c_cos",
+            F.round(dot / (F.col("_norm") * F.col("n_cent")), round_dp),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("c_cos"), F.asc("cell_id")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("cell_id", "embedding")
+        )
+        means = (
+            assigned.select(
+                "cell_id", F.posexplode("embedding").alias("pos", "x")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(
+                F.round(
+                    F.avg(F.col("x").cast("double")), round_dp
+                ).alias("m")
+            )
+        )
+        cents = means.groupBy("cell_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))),"
+                " s -> s.m)"
+            ).alias("c_emb")
+        )
+    return cents.select("cell_id", F.col("c_emb").alias("centroid"))
 
 
 def lsh_topk(

@@ -445,3 +445,92 @@ class TestCorpusPrepFilters:
         assert out[4]["clean_text"] == "REPEAT\nREPEAT\nREPEAT\nonly here"
         assert out[4]["n_dropped_lines"] == 0
         assert out[5]["clean_text"] == "" and out[5]["n_kept_lines"] == 0
+
+
+class TestKMeansCentroids:
+    def test_matches_numpy_lloyds(self, spark):
+        """kmeans_centroids == a plain-numpy Lloyd's reference with the
+        same init / rounding / tie-break rules, on clustered synthetic
+        vectors (3 planted directions + per-vector jitter)."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(3, 8)
+        vecs = np.array(
+            [
+                base[i % 3] + 0.05 * rng.randn(8)
+                for i in range(60)
+            ]
+        )
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        n_cells, n_iters, dp = 4, 2, 6
+
+        # numpy reference: identical rules
+        cents = vecs[:n_cells].copy()
+        cell_ids = list(range(n_cells))
+        for _ in range(n_iters):
+            norms_c = np.linalg.norm(cents, axis=1)
+            norms_v = np.linalg.norm(vecs, axis=1)
+            cos = np.round(
+                (vecs @ cents.T) / np.outer(norms_v, norms_c), dp
+            )
+            # argmax with lowest-cell_id tie-break = first max
+            assign = cos.argmax(axis=1)
+            new_cents, new_ids = [], []
+            for j, cid in enumerate(cell_ids):
+                members = vecs[assign == j]
+                if len(members):
+                    new_cents.append(
+                        np.round(members.mean(axis=0), dp)
+                    )
+                    new_ids.append(cid)
+            cents = np.array(new_cents)
+            cell_ids = new_ids
+
+        got = {
+            r.cell_id: r.centroid
+            for r in similarity.kmeans_centroids(
+                emb, n_cells=n_cells, n_iters=n_iters, round_dp=dp
+            ).collect()
+        }
+        assert sorted(got) == sorted(cell_ids)
+        for cid, want in zip(cell_ids, cents):
+            assert np.allclose(got[cid], want, atol=1e-9)
+
+    def test_codebook_beats_stand_in_inertia(self, spark):
+        """The trained codebook separates planted clusters: every
+        vector's nearest trained centroid has cosine >= its nearest
+        first-n-vectors stand-in centroid (aggregate, on clustered
+        data)."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(4, 8) * 3
+        vecs = np.array(
+            [base[i % 4] + 0.1 * rng.randn(8) for i in range(80)]
+        )
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+            "vec_id long, embedding array<double>",
+        )
+        trained = np.array(
+            [
+                r.centroid
+                for r in similarity.kmeans_centroids(
+                    emb, n_cells=4, n_iters=2
+                ).collect()
+            ]
+        )
+        standin = vecs[:4]
+
+        def mean_best_cos(cents):
+            nc = np.linalg.norm(cents, axis=1)
+            nv = np.linalg.norm(vecs, axis=1)
+            return (
+                ((vecs @ cents.T) / np.outer(nv, nc)).max(axis=1).mean()
+            )
+
+        assert mean_best_cos(trained) >= mean_best_cos(standin)
