@@ -213,13 +213,17 @@ def kmeans_centroids(
     * updated centroid components are ``round()``ed, so successive
       iterations operate on identical values in any engine.
 
-    Per iteration the corpus is scored against a BROADCAST centroid
-    table (narrow — the corpus never shuffles) and the update
-    aggregates posexploded components on small ``(cell_id, pos)`` keys
-    (rows x dim doubles, map-side combinable).  At web scale k-means
-    training runs over a deterministic hash sample (dedup.hash_sample)
-    and the codebook is reused corpus-wide, so the explode never sees
-    the full 100 TB.  A cell that captures no vectors drops out
+    Per iteration the ENTIRE centroid set rides as one broadcast array
+    row and the argmax assignment is a pure projection (transform
+    scores -> fold to best) — the corpus NEVER moves: no window, no
+    per-vector shuffle (a Window.partitionBy(vec_id) form was plan-
+    audited at a full corpus exchange per iteration and rejected,
+    PLANS.md r4).  The update aggregates posexploded components on
+    ``(cell_id, pos)`` keys with map-side partial combine, so each task
+    exchanges at most cells x dim partial rows — bytes, not the corpus.
+    At web scale k-means training additionally runs over a
+    deterministic hash sample (dedup.hash_sample) and the codebook is
+    reused corpus-wide.  A cell that captures no vectors drops out
     (classic Lloyd's; deterministic, identical in the SQL oracle).
 
     Returns ``(cell_id, centroid array<double>)``.
@@ -231,20 +235,31 @@ def kmeans_centroids(
             "transform(embedding, x -> cast(x as double))"
         ).alias("c_emb"),
     )
+    dot = DOT.format(a="embedding", b="c.c_emb")
+    best_cell = f"""
+aggregate(
+  transform(cells, c -> named_struct(
+    'cell', cast(c.cell_id as bigint),
+    'cos', round({dot} / (_norm * c.n_cent), {round_dp}))),
+  named_struct('cell', cast(-1 as bigint), 'cos', cast(-2.0 as double)),
+  (acc, s) -> IF(s.cos > acc.cos,
+                 named_struct('cell', s.cell, 'cos', s.cos), acc)
+).cell"""
+    # scores are in cell_id-ascending order (array_sort on the struct's
+    # leading field), so strict > keeps the LOWEST cell_id on ties —
+    # identical to the rank(cos DESC, cell_id ASC) rule the oracle uses.
     for _ in range(n_iters):
-        cents = cents.withColumn("n_cent", F.expr(_norm("c_emb")))
-        dot = F.expr(DOT.format(a="embedding", b="c_emb"))
-        scored = corpus.join(F.broadcast(cents)).withColumn(
-            "c_cos",
-            F.round(dot / (F.col("_norm") * F.col("n_cent")), round_dp),
+        cents_row = (
+            cents.withColumn("n_cent", F.expr(_norm("c_emb")))
+            .agg(
+                F.expr(
+                    "array_sort(collect_list("
+                    "struct(cell_id, c_emb, n_cent)))"
+                ).alias("cells")
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("c_cos"), F.asc("cell_id")
-        )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("cell_id", "embedding")
+        assigned = corpus.join(F.broadcast(cents_row)).select(
+            F.expr(best_cell).alias("cell_id"), "embedding"
         )
         means = (
             assigned.select(
