@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "emb_lsh_multiprobe",
     "emb_ivf_topk",
     "emb_ivf_multiprobe",
+    "emb_kmeans_centroids",
+    "emb_kmeans_ivf_topk",
     "emb_dup_pairs",
     "ev_windowed_counts",
     "ev_sessionize",

@@ -534,3 +534,27 @@ class TestKMeansCentroids:
             )
 
         assert mean_best_cos(trained) >= mean_best_cos(standin)
+
+    def test_corpus_never_shuffles(self, spark):
+        """The per-iteration assignment is a pure projection against
+        one broadcast centroid row: the physical plan must contain NO
+        Window operator and NO exchange keyed on vec_id (the corpus).
+        The only hash exchanges allowed are the centroid-update
+        aggregations on (cell_id[, pos]) — cells x dim rows, bytes at
+        any corpus size — plus the SinglePartition collect of the
+        n_cells centroid rows themselves."""
+        import re
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0, 2.0]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        out = similarity.kmeans_centroids(emb, n_cells=2, n_iters=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        hash_keys = re.findall(
+            r"Exchange hashpartitioning\(([^)]*)\)", plan
+        )
+        for keys in hash_keys:
+            assert "vec_id" not in keys and "embedding" not in keys
+            assert "cell_id" in keys
