@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "td_jaccard_borderline",
     "td_repetition_stats",
     "td_pii_scrub",
+    "td_shard_stats",
     "html_line_dedup",
 ]
 

@@ -32,7 +32,7 @@ from .synth import (
     sf_of_dir,
 )
 from . import events as events_ops
-from .textops import analysis, dedup, media, similarity
+from .textops import analysis, dedup, media, packing, similarity
 from .textops import html as html_ops
 
 ORACLE_SF = 0.01  # the driver compares at sf=0.01
@@ -1629,6 +1629,54 @@ FROM documents""",
 )
 def td_token_count(spark, sf_dir):
     return analysis.token_count(_docs_table(spark, sf_dir))
+
+
+# Shared CTE for the shard-packing oracles: whitespace token counts +
+# the exclusive running sum in doc_id order.  The Spark side computes
+# the identical cumsum DISTRIBUTED (value-range buckets + tiny prefix
+# stage, packing.py) — the oracle's single window is the semantic spec,
+# not the scale shape.
+_SHARD_CTE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM t
+)
+"""
+
+
+@q(
+    "td_token_shards",
+    _SHARD_CTE
+    + """
+SELECT doc_id, n_tokens, cum_before // 2048 AS shard_id FROM c""",
+)
+def td_token_shards(spark, sf_dir):
+    """Fixed-token-budget training-shard assignment (contiguous
+    packing by distributed prefix sum — packing.token_shards)."""
+    return packing.token_shards(_docs_table(spark, sf_dir), budget=2048)
+
+
+@q(
+    "td_shard_stats",
+    _SHARD_CTE
+    + """
+SELECT cum_before // 2048 AS shard_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS token_sum,
+       ROUND(SUM(n_tokens) / 2048, 6) AS fill
+FROM c GROUP BY 1""",
+)
+def td_shard_stats(spark, sf_dir):
+    """Per-shard packing manifest (docs, tokens, fill factor)."""
+    return packing.shard_stats(_docs_table(spark, sf_dir), budget=2048)
 
 
 @q(

@@ -1,0 +1,151 @@
+"""Training-shard packing: assign documents to fixed-token-budget
+shards via a DISTRIBUTED prefix sum.
+
+The operation a training-data pipeline runs right before writing
+shards: every document gets a ``shard_id`` such that shard k holds the
+contiguous (by ``doc_id``) run of documents whose exclusive cumulative
+token count lands in ``[k * budget, (k+1) * budget)``.  Deterministic
+— a function of the data only, never of partitioning — and exactly
+reproducible in ANSI SQL as
+``sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING AND
+1 PRECEDING) // budget``.
+
+Scale design — the naive Spark translation of that SQL is a global
+window (``Window.orderBy("doc_id")`` with no partition key), which
+Catalyst executes as ONE partition holding the whole corpus: the
+classic prefix-sum scale killer.  Instead the cumsum is decomposed the
+textbook parallel-scan way, entirely in JVM expressions:
+
+1. bucket every row by VALUE range (``doc_id div bucket_width``) — a
+   deterministic, order-preserving key derived from the data, not from
+   physical partition ids (``spark_partition_id()`` would make the
+   result depend on the split layout);
+2. one hash shuffle on ``bucket`` computes the within-bucket exclusive
+   cumsum (window) AND the per-bucket totals (groupBy reuses the same
+   partitioning — ReusedExchange, no second corpus exchange);
+3. the exclusive prefix over bucket TOTALS is a single-partition
+   window over ``corpus_size / bucket_width`` rows — kilobytes at any
+   corpus size (10^12 docs / 2^20-wide buckets = ~10^6 rows);
+4. per-bucket offsets broadcast-join back on ``bucket``.
+
+Net: exactly one corpus-sized exchange (the same one the per-bucket
+window needs anyway), no Python in the plan, no single-partition stage
+that scales with the corpus.  Shard ids use integer division
+(``div``), never floating point — at 10^13+ cumulative tokens a double
+floor() is one ULP from a wrong shard.
+
+Ingest note: this keys on an int64 ``doc_id`` (the interleaved-corpus
+ingest contract; ``TESTDATA.md`` tables ship one).  For string ids,
+derive a monotone int64 at ingest — the operator deliberately does not
+guess an order from strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Default value-range bucket width.  At 10^12 docs this yields ~10^6
+# bucket-total rows for the tiny prefix stage; at bench scale it still
+# exercises multiple buckets (sf0.01 = 500 docs / width 64 = 8
+# buckets).  Width only affects the decomposition, never the result.
+DEFAULT_BUCKET_WIDTH = 64
+
+
+def token_shards(
+    docs: DataFrame,
+    budget: int = 2048,
+    tokens: DataFrame | None = None,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id): fixed-budget contiguous packing.
+
+    ``shard_id = (exclusive running sum of n_tokens in doc_id order)
+    div budget`` — shard k is the token-axis window
+    ``[k*budget, (k+1)*budget)`` rounded to document boundaries: a
+    document goes to the shard its FIRST token lands in.  A shard's
+    actual token_sum therefore deviates from ``budget`` by at most the
+    two straddling documents, and a document larger than ``budget``
+    absorbs the shards it spans (those ids are absent).  Shard sums
+    always reconcile exactly to the corpus total (``shard_stats``).
+
+    ``tokens``: optional precomputed (doc_id, n_tokens) table (e.g.
+    ``analysis.token_count`` or ``token_count_bpe`` output, renamed) —
+    the materialized-table shape a deployment shares between budgeting
+    and packing.  Without it, whitespace token counts are derived
+    inline (narrow, codegen).
+    """
+    if tokens is None:
+        from . import analysis
+
+        tokens = analysis.token_count(docs)
+    t = tokens.withColumn(
+        "bucket", F.expr(f"doc_id div {int(bucket_width)}")
+    )
+
+    # Stage 2: within-bucket exclusive cumsum + bucket totals on ONE
+    # hashpartitioning(bucket) exchange.
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = t.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    bucket_totals = t.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_total")
+    )
+
+    # Stage 3: exclusive prefix over bucket totals — rows scale as
+    # corpus_size / bucket_width, so the single partition here holds
+    # kilobytes per terabyte of corpus.
+    w_buckets = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_total").over(w_buckets), F.lit(0)).alias(
+            "bucket_before"
+        ),
+    )
+
+    # Stage 4: broadcast the tiny offsets table back onto the corpus.
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                f"(bucket_before + local_before) div {int(budget)}"
+            ).alias("shard_id"),
+        )
+    )
+
+
+def shard_stats(
+    docs: DataFrame,
+    budget: int = 2048,
+    tokens: DataFrame | None = None,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-shard packing audit: (shard_id, n_docs, token_sum, fill).
+
+    ``fill = token_sum / budget`` rounded to ``round_dp`` — the
+    manifest row a shard writer records.  One map-side-combinable
+    aggregation on shard_id over ``token_shards`` output; shard keys
+    are dense small ints, so the shuffle is trivially balanced.
+    """
+    shards = token_shards(
+        docs, budget=budget, tokens=tokens, bucket_width=bucket_width
+    )
+    return shards.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("token_sum"),
+        F.round(F.sum("n_tokens") / F.lit(int(budget)), round_dp).alias(
+            "fill"
+        ),
+    )

@@ -7,7 +7,11 @@ pyspark = pytest.importorskip("pyspark")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from py_pdf_parser_spark.textops import dedup, similarity  # noqa: E402
+from py_pdf_parser_spark.textops import (  # noqa: E402
+    dedup,
+    packing,
+    similarity,
+)
 
 
 @pytest.fixture(scope="module")
@@ -558,3 +562,127 @@ class TestKMeansCentroids:
         for keys in hash_keys:
             assert "vec_id" not in keys and "embedding" not in keys
             assert "cell_id" in keys
+
+
+class TestTokenShards:
+    """token_shards = distributed exclusive-cumsum // budget."""
+
+    def _docs(self, spark, n=500, seed=3):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join("w" for _ in range(rng.randint(1, 40))))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _model(self, rows, budget):
+        """Plain-Python reference: exclusive cumsum in doc_id order."""
+        out, cum = {}, 0
+        for doc_id, text in sorted(rows):
+            n = len(text.split(" "))
+            out[doc_id] = (n, cum // budget)
+            cum += n
+        return out
+
+    def test_matches_sequential_model(self, spark):
+        docs = self._docs(spark)
+        want = self._model(
+            [(r.doc_id, r.text) for r in docs.collect()], budget=100
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.shard_id)
+            for r in packing.token_shards(docs, budget=100).collect()
+        }
+        assert got == want
+        # multiple shards actually exercised
+        assert len({s for _, s in got.values()}) > 5
+
+    def test_layout_and_bucket_width_independent(self, spark):
+        """The result is a function of the DATA: identical under any
+        input partitioning and any decomposition width."""
+        docs = self._docs(spark, n=300, seed=9)
+        base = sorted(
+            packing.token_shards(docs, budget=64).collect()
+        )
+        for repart, width in [(1, 64), (7, 17), (13, 1), (3, 10**6)]:
+            got = sorted(
+                packing.token_shards(
+                    docs.repartition(repart), budget=64, bucket_width=width
+                ).collect()
+            )
+            assert got == base
+
+    def test_shard_stats_reconcile_with_model(self, spark):
+        """shard_stats == the per-shard rollup of the sequential model:
+        every present shard non-empty, fill = token_sum/budget, sums
+        reconcile exactly to the corpus total, and each shard's first
+        document starts inside its token-axis window
+        [sid*budget, (sid+1)*budget)."""
+        docs = self._docs(spark)
+        model = self._model(
+            [(r.doc_id, r.text) for r in docs.collect()], budget=100
+        )
+        want = {}
+        for n, sid in model.values():
+            n_docs, tok = want.get(sid, (0, 0))
+            want[sid] = (n_docs + 1, tok + n)
+        stats = {
+            r.shard_id: (r.n_docs, r.token_sum, r.fill)
+            for r in packing.shard_stats(docs, budget=100).collect()
+        }
+        assert set(stats) == set(want)
+        for sid, (n_docs, token_sum) in want.items():
+            g_docs, g_tok, g_fill = stats[sid]
+            assert (g_docs, g_tok) == (n_docs, token_sum)
+            assert g_fill == round(token_sum / 100, 6)
+            assert n_docs > 0
+        assert sum(t for _, t, _ in stats.values()) == sum(
+            n for n, _ in model.values()
+        )
+        # window-membership invariant: first token of each shard's
+        # first doc lands in the shard's token-axis window
+        cum = 0
+        for doc_id in sorted(model):
+            n, sid = model[doc_id]
+            if cum // 100 == sid:  # first doc of shard sid
+                assert sid * 100 <= cum < (sid + 1) * 100
+            cum += n
+
+    def test_no_corpus_sized_single_partition_stage(self, spark):
+        """Scale shape: the only non-partitioned window runs over
+        BUCKET TOTALS (corpus_size / bucket_width rows), never the
+        corpus; the corpus window is bucket-partitioned; offsets come
+        back via broadcast."""
+        import re
+
+        docs = self._docs(spark)
+        out = packing.token_shards(docs, budget=100, bucket_width=64)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert len(specs) == 2
+        corpus_specs = [s for s in specs if "doc_id" in s]
+        assert len(corpus_specs) == 1 and "bucket" in corpus_specs[0]
+        # the other window orders by bucket only (the tiny totals table)
+        (totals_spec,) = [s for s in specs if "doc_id" not in s]
+        assert "bucket" in totals_spec
+        assert plan.count("BroadcastExchange") == 1
+        # every corpus-sized hash exchange keys on bucket
+        for keys in re.findall(
+            r"Exchange hashpartitioning\(([^)]*)\)", plan
+        ):
+            assert "bucket" in keys
+
+    def test_shared_tokens_table_same_result(self, spark):
+        """Passing a precomputed tokens table (the materialized
+        deployment shape) changes nothing."""
+        from py_pdf_parser_spark.textops import analysis
+
+        docs = self._docs(spark, n=200, seed=5)
+        toks = analysis.token_count(docs)
+        a = sorted(packing.token_shards(docs, budget=77).collect())
+        b = sorted(
+            packing.token_shards(docs, budget=77, tokens=toks).collect()
+        )
+        assert a == b
