@@ -1841,6 +1841,43 @@ def td_source_cap(spark, sf_dir):
     return analysis.source_cap(_docs_table(spark, sf_dir), cap=10)
 
 
+@q(
+    "td_mixture_sample",
+    """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix0'),
+              1, 8)) AS BIGINT) % 100 AS BIGINT) AS bucket
+  FROM documents
+), r AS (
+  SELECT DISTINCT source,
+         (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) * 7) % 101
+             AS pct
+  FROM documents WHERE source <> 'src19'
+)
+SELECT doc_id, b.source, bucket, COALESCE(r.pct, 50) AS pct
+FROM b LEFT JOIN r USING (source)
+WHERE bucket < COALESCE(r.pct, 50)""",
+)
+def td_mixture_sample(spark, sf_dir):
+    """Per-source mixture sampling (analysis.mixture_sample): rates
+    table derived from the source name digits ((n*7) mod 101 — varied
+    integer rates incl. a 0%-source), src19 deliberately absent to
+    exercise the default-rate fallback."""
+    docs = _docs_table(spark, sf_dir)
+    rates = (
+        docs.select("source")
+        .distinct()
+        .filter(F.col("source") != "src19")
+        .withColumn(
+            "pct",
+            (F.regexp_extract("source", "([0-9]+)", 1).cast("long") * 7)
+            % 101,
+        )
+    )
+    return analysis.mixture_sample(docs, rates, default_pct=50)
+
+
 def _pii_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "__pii__")
     hit = _TABLE_CACHE.get(key)

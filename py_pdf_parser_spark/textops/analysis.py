@@ -232,6 +232,50 @@ PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
 IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
+def mixture_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    default_pct: int = 0,
+    seed: str = "mix0",
+) -> DataFrame:
+    """Training-mixture sampling: keep each document with its SOURCE's
+    rate — the op that turns a crawl into a weighted training mix.
+
+    ``rates`` is a (source, pct) table (integer percent 0-100), the
+    output shape of whatever mixture solver set the weights; sources
+    absent from it fall back to ``default_pct``.  Keep rule: the same
+    deterministic md5 bucket as ``hash_sample`` (content-stable, no
+    RNG, reproducible in any engine) compared against the source's
+    rate, so a document's fate never depends on cluster size, run, or
+    partitioning — and raising a source's rate strictly GROWS its kept
+    set (buckets are fixed; the threshold moves), which is what makes
+    mixture re-weighting incremental at 100 TB: only the bucket slice
+    between old and new pct needs (re)processing.
+
+    Scale shape: the rates table is one row per source — broadcast
+    join, no corpus shuffle; everything else is a narrow projection.
+    """
+    key = F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(seed))
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+    )
+    from pyspark.sql.functions import broadcast
+
+    r = rates.select(
+        "source", F.col("pct").cast("long").alias("_mix_pct")
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(broadcast(r), "source", "left")
+        .withColumn(
+            "pct",
+            F.coalesce(F.col("_mix_pct"), F.lit(int(default_pct))),
+        )
+        .filter(F.col("bucket") < F.col("pct"))
+        .select("doc_id", "source", "bucket", "pct")
+    )
+
+
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """PII detection counts + redacted text.
 

@@ -686,3 +686,60 @@ class TestTokenShards:
             packing.token_shards(docs, budget=77, tokens=toks).collect()
         )
         assert a == b
+
+
+class TestMixtureSample:
+    def test_rates_defaults_and_monotone_growth(self, spark):
+        """mixture_sample: per-source rates honored exactly (0% source
+        keeps nothing), absent sources use default_pct, and raising a
+        rate strictly GROWS the kept set (fixed buckets, moving
+        threshold — the incremental-reweighting contract).  The rates
+        side must come back as a broadcast join (no corpus shuffle on
+        source)."""
+        from py_pdf_parser_spark.textops import analysis
+
+        docs = spark.createDataFrame(
+            [
+                (i, "w", ["a", "b", "zero"][i % 3])
+                for i in range(300)
+            ],
+            "doc_id long, text string, source string",
+        )
+
+        def rates(pa, pb):
+            return spark.createDataFrame(
+                [("a", pa), ("zero", 0)], "source string, pct long"
+            ) if pb is None else spark.createDataFrame(
+                [("a", pa), ("b", pb), ("zero", 0)],
+                "source string, pct long",
+            )
+
+        out = analysis.mixture_sample(
+            docs, rates(30, None), default_pct=80
+        )
+        got = out.collect()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r.source, set()).add(r.doc_id)
+            assert r.bucket < r.pct
+        assert "zero" not in by_src            # 0% rate keeps nothing
+        assert by_src["b"]                     # default_pct fallback
+        for r in got:
+            if r.source == "b":
+                assert r.pct == 80
+
+        # monotone growth: kept@30 subset of kept@60 for source a
+        kept_60 = {
+            r.doc_id
+            for r in analysis.mixture_sample(
+                docs, rates(60, None), default_pct=80
+            ).collect()
+            if r.source == "a"
+        }
+        assert by_src["a"] < kept_60
+
+        plan = (
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
