@@ -1665,6 +1665,35 @@ def td_token_shards(spark, sf_dir):
 
 
 @q(
+    "td_chunk_documents",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks,
+         GREATEST(1, CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT))
+             AS n_chunks
+  FROM t
+), x AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM n
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ')
+           AS chunk_text
+FROM x""",
+)
+def td_chunk_documents(spark, sf_dir):
+    """Fixed-size training sequences with overlap
+    (packing.chunk_documents, 32-token chunks / 8-token overlap —
+    small enough that the sf corpus docs split into 1-3 chunks)."""
+    return packing.chunk_documents(
+        _docs_table(spark, sf_dir), chunk_tokens=32, overlap=8
+    )
+
+
+@q(
     "td_shard_stats",
     _SHARD_CTE
     + """
@@ -2270,15 +2299,31 @@ SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
     )
 
 
+def _kmeans_cents_table(spark, sf_dir):
+    """Trained k-means codebook, persisted per (application, corpus) —
+    the materialized codebook a deployment trains once and every IVF
+    search reuses.  Tiny (n_cells rows), but its BUILD is 2 Lloyd's
+    iterations over the corpus; without persistence each consumer
+    re-trained (emb_kmeans_ivf_topk paid training again on top of
+    emb_kmeans_centroids — 2.6 s vs ~1 s at sf0.1)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__kmeans_cents__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = similarity.kmeans_centroids(
+        _emb_table(spark, sf_dir), n_iters=2
+    ).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
 @q("emb_kmeans_centroids", _kmeans_centroids_oracle())
 def emb_kmeans_centroids(spark, sf_dir):
     """Distributed Lloyd's k-means codebook (2 iterations, spherical
     assignment): the REAL trained centroid table for IVF coarse
     quantization — broadcast-assign + (cell, pos) mean update, corpus
     never shuffled.  Output exploded to (cell_id, pos, val) scalars."""
-    cents = similarity.kmeans_centroids(
-        _emb_table(spark, sf_dir), n_iters=2
-    )
+    cents = _kmeans_cents_table(spark, sf_dir)
     return cents.select(
         "cell_id", F.posexplode("centroid").alias("pos", "val")
     ).select(
@@ -2290,10 +2335,12 @@ def emb_kmeans_centroids(spark, sf_dir):
 def emb_kmeans_ivf_topk(spark, sf_dir):
     """IVF ANN over the TRAINED k-means codebook (train -> assign ->
     bucketed exact rerank, end to end): the composed deployment shape —
-    kmeans_centroids feeds ivf_topk's centroids parameter."""
+    the shared persisted codebook feeds ivf_topk's centroids
+    parameter."""
     emb = _emb_table(spark, sf_dir)
-    cents = similarity.kmeans_centroids(emb, n_iters=2)
-    return similarity.ivf_topk(emb, centroids=cents)
+    return similarity.ivf_topk(
+        emb, centroids=_kmeans_cents_table(spark, sf_dir)
+    )
 
 
 @q(

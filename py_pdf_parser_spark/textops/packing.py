@@ -125,6 +125,67 @@ def token_shards(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size training sequences with overlap
+    — the doc→sequence op that runs between cleaning and packing.
+
+    Chunk i of a document covers whitespace tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the MINIMAL number of chunks
+    covering every token is emitted —
+    ``max(1, ceil((n_tokens - overlap) / stride))`` — so consecutive
+    chunks share exactly ``overlap`` tokens, the last chunk always
+    extends past the previous one's coverage (it is truncated at the
+    document end, never redundant), and a document shorter than one
+    chunk yields exactly one chunk.  Output: (doc_id, chunk_idx,
+    n_chunk_tokens, chunk_text).
+
+    Scale shape: one narrow projection — split, ``sequence`` +
+    posexplode, ``slice``, ``array_join``, all JVM builtins; no
+    shuffle, no Python.  Fan-out is bounded by
+    ``n_tokens / stride + 1`` rows per document, each carrying only its
+    own slice of text (never the whole document per chunk).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride)).cast(
+            "int"
+        ),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("_toks"),
+            F.posexplode(
+                F.sequence(F.lit(0), n_chunks - F.lit(1))
+            ).alias("chunk_idx", "_i"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(
+                F.col("_toks"),
+                F.col("_i") * stride + F.lit(1),
+                F.lit(chunk_tokens),
+            ).alias("_chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
 def shard_stats(
     docs: DataFrame,
     budget: int = 2048,

@@ -688,6 +688,85 @@ class TestTokenShards:
         assert a == b
 
 
+class TestChunkDocuments:
+    def test_exact_chunks_small_example(self, spark):
+        """10 tokens, chunk=4, overlap=1 (stride 3): minimal cover is
+        3 chunks [0,4) [3,7) [6,10), consecutive pairs sharing exactly
+        one token."""
+        toks = [f"t{i}" for i in range(10)]
+        out = sorted(
+            packing.chunk_documents(
+                _docs(spark, [(1, " ".join(toks))]),
+                chunk_tokens=4,
+                overlap=1,
+            ).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        got = [(r.chunk_idx, r.chunk_text) for r in out]
+        assert got == [
+            (0, "t0 t1 t2 t3"),
+            (1, "t3 t4 t5 t6"),
+            (2, "t6 t7 t8 t9"),
+        ]
+        assert all(r.n_chunk_tokens == 4 for r in out)
+
+    def test_boundary_counts(self, spark):
+        """Doc == one chunk -> 1; one token more -> 2 (the second is
+        overlap+1 tokens, extending past the first); short/empty docs
+        -> exactly one chunk."""
+        c, o = 8, 3
+        mk = lambda n: " ".join(f"w{i}" for i in range(n))
+        docs = _docs(
+            spark, [(1, mk(8)), (2, mk(9)), (3, mk(2)), (4, "")]
+        )
+        rows = packing.chunk_documents(
+            docs, chunk_tokens=c, overlap=o
+        ).collect()
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        assert len(per_doc[1]) == 1
+        assert len(per_doc[2]) == 2
+        two = sorted(per_doc[2], key=lambda r: r.chunk_idx)
+        # second chunk = tokens [5, 9): shares exactly `o` with first,
+        # plus the one uncovered token
+        assert two[1].chunk_text == "w5 w6 w7 w8"
+        assert len(per_doc[3]) == 1 and per_doc[3][0].chunk_text == mk(2)
+        assert len(per_doc[4]) == 1 and per_doc[4][0].chunk_text == ""
+
+    def test_full_coverage_and_reconstruction(self, spark):
+        """Property over varied lengths: dropping the first `overlap`
+        tokens of every chunk but the first reconstructs the document
+        exactly (every token covered once past the shared prefix)."""
+        import random
+
+        rng = random.Random(2)
+        rows = [
+            (i, " ".join(f"x{i}_{j}" for j in range(rng.randint(0, 50))))
+            for i in range(40)
+        ]
+        c, o = 12, 5
+        chunks = packing.chunk_documents(
+            _docs(spark, rows), chunk_tokens=c, overlap=o
+        ).collect()
+        per_doc = {}
+        for r in chunks:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, text in rows:
+            ordered = sorted(
+                per_doc[doc_id], key=lambda r: r.chunk_idx
+            )
+            assert [r.chunk_idx for r in ordered] == list(
+                range(len(ordered))
+            )
+            rebuilt = ordered[0].chunk_text.split(" ")
+            for r in ordered[1:]:
+                ctoks = r.chunk_text.split(" ")
+                assert ctoks[:o] == rebuilt[-o:]  # exact overlap
+                rebuilt.extend(ctoks[o:])
+            assert rebuilt == text.split(" ")
+
+
 class TestMixtureSample:
     def test_rates_defaults_and_monotone_growth(self, spark):
         """mixture_sample: per-source rates honored exactly (0% source
