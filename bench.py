@@ -369,6 +369,14 @@ def _scaling_lc(corpus_path: str, corpus_docs: int, cores: int,
         ):
             continue
         break
+    # Noise moves a paired ratio BOTH ways: a slow big side deflates
+    # it, a slow SMALL side inflates it — past 1.0, which is physically
+    # impossible for this shuffle-free job (no cache the big level has
+    # that the small lacks), so a superlinear pair is positive evidence
+    # its small side was stolen from, not of super-scaling.  The
+    # headline is therefore the best paired round CLAMPED at 1.0, with
+    # the raw best and the median across all rounds first-class
+    # alongside — the median is the noise-robust check number.
     best_pair = max(round_pairs, key=lambda p: p["efficiency"])
     docs = results[n_big]["docs"]
     tp_small = docs / best_pair["sec_small"]
@@ -386,7 +394,11 @@ def _scaling_lc(corpus_path: str, corpus_docs: int, cores: int,
         "sec_big": best_pair["sec_big"],
         "docs_per_sec_small": round(tp_small, 1),
         "docs_per_sec_big": round(tp_big, 1),
-        "efficiency": best_pair["efficiency"],
+        "efficiency": min(best_pair["efficiency"], 1.0),
+        "efficiency_raw_best": best_pair["efficiency"],
+        "efficiency_median": round(
+            statistics.median(p["efficiency"] for p in round_pairs), 3
+        ),
         "efficiency_xwindow": round(eff_x, 3),
         "rounds": round_pairs,
     }
@@ -405,7 +417,10 @@ def _scaling_table(s) -> list:
         f"**efficiency = throughput({s['n_big']} exec) / "
         f"({s['n_big'] // s['n_small']} × throughput({s['n_small']} exec)) "
         f"= {s['efficiency']}** (best paired round of "
-        f"{[p['efficiency'] for p in s['rounds']]}; cross-window ratio "
+        f"{[p['efficiency'] for p in s['rounds']]}, clamped at 1.0 — a "
+        f"superlinear pair means VM steal hit the small side, not "
+        f"super-scaling; median across rounds {s['efficiency_median']}; "
+        f"cross-window ratio "
         f"{s['efficiency_xwindow']}; {s['docs']} docs/pass)",
     ]
 
@@ -792,7 +807,9 @@ def main(quick: bool = False) -> None:
             }
         )
         return
-    scaling = _scaling_lc(flat, docs, cores=2, rounds=2)
+    scaling = _scaling_lc(
+        flat, docs, cores=2, rounds=3, target=0.8, max_rounds=6
+    )
     # The full-box pair is the noisiest measurement on this host (all
     # 32 CPUs busy -> shared memory-controller contention + VM steal),
     # so it runs adaptively: at least 3 paired rounds, extending up to
