@@ -536,12 +536,13 @@ def _write_baseline_md(
         ),
         "",
         "**Window record:** the full-box pair has measured **≥0.8 "
-        "directly** in r4's formal run (0.855 paired / 0.821 even "
-        "cross-window) and in r3 side experiments (0.801, 0.872 — "
+        "directly** in multiple r4 full-bench runs (0.945 — preserved "
+        "as `BENCH/bench_r4_run2.json`; 0.855 paired / 0.821 even "
+        "cross-window, 0.84) and in r3 side experiments (0.801, 0.872 — "
         "`BENCH/exp_fullbox_r3.py`; see this file's git history for the "
         "full tables).  The 2-core headline pair has passed ≥0.8 in "
         "every window ever measured (r1 0.916, r2 0.825, r3 0.885-0.913, "
-        "r4 0.957-0.982).",
+        "r4 0.854-0.982).",
         "",
         "## Skew (0.1% pathological docs — 1600-page bigdoc, giant-media "
         "bigmedia, superlinear-recipe bigtable — clustered in their own "
