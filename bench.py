@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "td_pii_scrub",
     "td_shard_stats",
     "td_chunk_documents",
+    "td_decontaminate",
     "html_line_dedup",
 ]
 

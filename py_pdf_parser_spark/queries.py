@@ -1653,6 +1653,39 @@ WITH t AS (
 
 
 @q(
+    "td_decontaminate",
+    _SHINGLES_DUCK
+    + f""",
+r AS (
+  SELECT DISTINCT doc_id, {_H_DUCK.format(s="s")} AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+), b AS (
+  SELECT DISTINCT h FROM r WHERE doc_id % 97 = 0
+), o AS (
+  SELECT r.doc_id, COUNT(*) AS n_overlap FROM r JOIN b USING (h)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(o.n_overlap, 0) >= 5 AS contaminated
+FROM documents d LEFT JOIN o USING (doc_id)""",
+)
+def td_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): eval set =
+    every 97th document, overlap counted on the shared distinct
+    shingle table; duplicate-family members of eval docs light up as
+    contaminated, unrelated docs stay clean."""
+    docs = _docs_table(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return dedup.decontaminate(
+        docs,
+        bench,
+        min_overlap=5,
+        rows=_shingle_rows_table(spark, sf_dir),
+    )
+
+
+@q(
     "td_token_shards",
     _SHARD_CTE
     + """

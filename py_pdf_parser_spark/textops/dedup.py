@@ -757,3 +757,59 @@ def line_dedup(
         .cast("long")
         .alias("n_dropped_lines"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 5,
+    rows: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct
+    n-gram hashes shared with an evaluation set — the train/test
+    overlap scrub every serious training corpus runs before shipping.
+
+    Returns every corpus document as (doc_id, n_overlap, contaminated)
+    with ``contaminated = n_overlap >= min_overlap``; the caller
+    anti-joins flagged docs out (reported rather than silently dropped,
+    so overlap statistics are auditable).
+
+    Scale shape: the benchmark side is an EVAL SET — thousands of
+    documents against 10^12 — so its distinct shingle hashes broadcast
+    and the corpus NEVER shuffles for the membership probe; the only
+    corpus-keyed operation is the per-doc overlap count, which reuses
+    the shingle table's hash(doc_id) partitioning (no new exchange).
+    ``rows``: the shared distinct (doc_id, h) shingle table
+    (queries._shingle_rows_table) — the same materialized rows every
+    MinHash/LSH/Jaccard operator consumes.
+    """
+    from pyspark.sql.functions import broadcast
+
+    bench_h = (
+        shingle_rows(benchmark, n=n).select("h").distinct()
+    )
+    corpus_rows = (
+        rows
+        if rows is not None
+        else shingle_rows(docs, n=n, distinct=True)
+    )
+    overlap = (
+        corpus_rows.join(broadcast(bench_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                >= F.lit(int(min_overlap))
+            ).alias("contaminated"),
+        )
+    )

@@ -688,6 +688,55 @@ class TestTokenShards:
         assert a == b
 
 
+class TestDecontaminate:
+    def test_planted_overlap_counts_and_flags(self, spark):
+        """A corpus doc embedding an eval doc's sentence shares exactly
+        its distinct 3-gram set; an unrelated doc counts 0.  The
+        benchmark probe must come back as a broadcast join (the corpus
+        never shuffles for membership)."""
+        eval_sent = "alpha beta gamma delta epsilon"  # 3 distinct 3-grams
+        corpus = _docs(
+            spark,
+            [
+                (1, "intro words " + eval_sent + " closing words"),
+                (2, "totally unrelated content here of some length"),
+                (3, "alpha beta gamma only shares one leading gram"),
+            ],
+        )
+        bench = _docs(spark, [(100, eval_sent)])
+        out = {
+            r.doc_id: (r.n_overlap, r.contaminated)
+            for r in dedup.decontaminate(
+                corpus, bench, min_overlap=3
+            ).collect()
+        }
+        assert out[1] == (3, True)
+        assert out[2] == (0, False)
+        assert out[3] == (1, False)  # only 'alpha_beta_gamma'
+
+        plan = (
+            dedup.decontaminate(corpus, bench, min_overlap=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_shared_rows_table_same_result(self, spark):
+        corpus = _docs(
+            spark,
+            [(i, f"w{i} common phrase here w{i + 1} tail") for i in range(6)],
+        )
+        bench = _docs(spark, [(50, "common phrase here")])
+        shared = dedup.shingle_rows(corpus, distinct=True).persist()
+        a = sorted(dedup.decontaminate(corpus, bench, min_overlap=1).collect())
+        b = sorted(
+            dedup.decontaminate(
+                corpus, bench, min_overlap=1, rows=shared
+            ).collect()
+        )
+        assert a == b
+        assert any(r.contaminated for r in a)
+
+
 class TestChunkDocuments:
     def test_exact_chunks_small_example(self, spark):
         """10 tokens, chunk=4, overlap=1 (stride 3): minimal cover is
