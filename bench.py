@@ -591,10 +591,14 @@ def _write_baseline_md(
         f.write("\n".join(lines))
 
 
-def _emit_result(result: dict, full: dict = None) -> None:
+def _emit_result(
+    result: dict, full: dict = None, quick: bool = False
+) -> None:
     """Emit the bench record: ONE compact JSON line as the very last
     stdout line (flushed), plus the same record — with any extra
-    per-pass detail — to BENCH/RESULT.json.
+    per-pass detail — to BENCH/RESULT.json (``--quick`` smokes write
+    BENCH/RESULT_quick.json instead, so a verification drive at a toy
+    sf can never clobber the formal sf0.1 record).
 
     BENCH_r03.json recorded ``parsed: null`` because the driver keeps a
     bounded stdout TAIL and the pretty-spaced JSON (with per-pass
@@ -604,7 +608,8 @@ def _emit_result(result: dict, full: dict = None) -> None:
     flush so the line cannot interleave with teardown output.
     """
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/RESULT.json", "w") as f:
+    path = "BENCH/RESULT_quick.json" if quick else "BENCH/RESULT.json"
+    with open(path, "w") as f:
         json.dump(full or result, f, indent=1)
     sys.stdout.flush()
     print(json.dumps(result, separators=(",", ":")), flush=True)
@@ -806,7 +811,8 @@ def main(quick: bool = False) -> None:
                 "docs_per_sec": round(docs / sec, 1),
                 "pdf_path": pdf_path,
                 "lsh_audit": lsh_audit,
-            }
+            },
+            quick=True,
         )
         return
     scaling = _scaling_lc(
