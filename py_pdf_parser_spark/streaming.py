@@ -430,3 +430,40 @@ def stream_pii_scrub(
         .outputMode("append")
         .start()
     )
+
+
+def stream_mixture_sample(
+    spark: SparkSession,
+    input_dir: str,
+    rates,
+    default_pct: int = 0,
+    query_name: str = "mixture_sample",
+    max_files_per_trigger: int = 4,
+):
+    """Streaming mixture sampling at ingest: analysis.mixture_sample
+    applied to a file-source stream — each arriving document is kept or
+    dropped by its source's rate BEFORE landing downstream, the shape a
+    continuously-ingesting training mix runs.  Stateless narrow
+    transformation over a static broadcast rates table, so results are
+    identical to the batch operator on the same rows (asserted by
+    test), and because the md5 buckets are fixed, REPLAYED files decide
+    identically — the sample stays consistent across stream restarts.
+    Append-mode memory sink under ``query_name``."""
+    from .textops.analysis import mixture_sample
+
+    doc_table_schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(doc_table_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        mixture_sample(stream, rates, default_pct=default_pct)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )

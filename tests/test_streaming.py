@@ -289,3 +289,42 @@ def test_stream_pii_scrub_matches_batch(spark, tmp_path):
         q.stop()
     want = {tuple(r) for r in pii_scrub(docs).collect()}
     assert got == want and len(want) == 4
+
+
+def test_stream_mixture_sample_matches_batch(spark, tmp_path):
+    """Stateless streaming mixture sampling == the batch operator on
+    the same rows (fixed buckets + broadcast rates decide identically
+    in any execution mode)."""
+    from py_pdf_parser_spark.streaming import stream_mixture_sample
+    from py_pdf_parser_spark.textops.analysis import mixture_sample
+
+    rows = [
+        (i, f"doc {i}", "en", ["a", "b", "zero"][i % 3], 10)
+        for i in range(60)
+    ]
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    docs = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "in")
+    docs.coalesce(2).write.parquet(in_dir)
+    rates = spark.createDataFrame(
+        [("a", 60), ("zero", 0)], "source string, pct long"
+    )
+
+    q = stream_mixture_sample(
+        spark, in_dir, rates, default_pct=30, query_name="mix_t"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r) for r in spark.sql("SELECT * FROM mix_t").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        tuple(r)
+        for r in mixture_sample(docs, rates, default_pct=30).collect()
+    }
+    assert got == want
+    assert want  # non-degenerate: something was kept
+    assert not any(t[1] == "zero" for t in got)
