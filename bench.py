@@ -301,9 +301,17 @@ PIPE_DOCS_PER_SEC_CORE = 4000
 
 
 def _scaling_lc(corpus_path: str, corpus_docs: int, cores: int,
-                n_small: int = 1, n_big: int = 4, rounds: int = 2,
-                target: float = None, max_rounds: int = None) -> dict:
-    """N vs 4N executors (separate pinned JVMs, local-cluster mode)."""
+                n_small: int = 1, n_big: int = 4,
+                rounds: int = 3) -> dict:
+    """N vs 4N executors (separate pinned JVMs, local-cluster mode).
+
+    ``rounds`` is a FIXED, pre-registered paired-round count — r4's
+    adaptive extension stopped as soon as one pair cleared the 0.8
+    rule, and optional stopping on the gate statistic guarantees
+    crossing any threshold under noise (ADVICE r4).  The gate
+    statistic is the MEDIAN paired efficiency across all rounds;
+    best-pair numbers are reported alongside but never gate the rule.
+    """
     target_docs = TARGET_SMALL_SEC * PIPE_DOCS_PER_SEC_CORE * n_small * cores
     replicate = max(1, round(target_docs / max(corpus_docs, 1)))
     results = {}
@@ -323,26 +331,16 @@ def _scaling_lc(corpus_path: str, corpus_docs: int, cores: int,
         return json.loads(last[-1])
 
     # Each round runs BOTH levels back-to-back, yielding a PAIRED
-    # efficiency measured inside one noise window.  The headline is the
-    # best paired round: a scaling ratio is a property of one
-    # measurement window, and ratioing the best small pass against the
-    # best big pass FROM DIFFERENT windows (the previous headline)
-    # measures the noise delta between those windows, not the engine —
-    # a noisy-fast small pass deflated the ratio below every paired
-    # measurement actually taken.  The cross-window ratio is kept as
-    # ``efficiency_xwindow`` and every round pair stays in the record,
-    # so both statistics and the full spread are auditable.
-    #
-    # ``target``/``max_rounds``: adaptive extension — after the base
-    # ``rounds``, keep taking paired rounds until one clears ``target``
-    # or ``max_rounds`` is hit.  A paired ratio needs ONE quiet window;
-    # on a shared VM whose steal-time comes in bursts, a fixed small
-    # round count turns the formal record into window luck (r3: side
-    # experiments measured 0.80-0.87 while the 2-round formal JSON
-    # recorded 0.777).  Every extra round stays in ``rounds`` below —
-    # extension adds evidence, it never discards slow pairs.
+    # efficiency measured inside one noise window (ratioing bests from
+    # DIFFERENT windows measures the noise delta between windows, not
+    # the engine; that cross-window ratio is still recorded as
+    # ``efficiency_xwindow``).  The round count is FIXED up front and
+    # every pair stays in the record; the headline ``efficiency`` is
+    # the MEDIAN across all pairs — the noise-robust central statistic
+    # the 0.8 rule is gated on (never a best-of, never an adaptive
+    # stop: both were flagged as optional-stopping bias in r4 ADVICE).
     round_pairs = []
-    while True:
+    for _ in range(rounds):
         pair = {}
         for n_exec in (n_small, n_big):
             r = run(n_exec)
@@ -360,31 +358,26 @@ def _scaling_lc(corpus_path: str, corpus_docs: int, cores: int,
                 ),
             }
         )
-        best = max(p["efficiency"] for p in round_pairs)
-        if len(round_pairs) < rounds:
-            continue
-        if (
-            target is not None
-            and best < target
-            and len(round_pairs) < (max_rounds or rounds)
-        ):
-            continue
-        break
     # Noise moves a paired ratio BOTH ways: a slow big side deflates
     # it, a slow SMALL side inflates it — past 1.0, which is physically
-    # impossible for this shuffle-free job (no cache the big level has
-    # that the small lacks), so a superlinear pair is positive evidence
-    # its small side was stolen from, not of super-scaling.  The
-    # headline is therefore the best paired round CLAMPED at 1.0, with
-    # the raw best and the median across all rounds first-class
-    # alongside — the median is the noise-robust check number.
-    best_pair = max(round_pairs, key=lambda p: p["efficiency"])
+    # impossible for this shuffle-free job, so a raw efficiency > 1.0
+    # is positive evidence VM steal hit that pair's SMALL side: the
+    # pair is a corrupted measurement, excluded from best-pair
+    # selection entirely (not clamped into the headline — r4 ADVICE).
+    # If every pair is corrupted, fall back to the least-inflated one.
+    valid_pairs = [p for p in round_pairs if p["efficiency"] <= 1.0]
+    best_pair = (
+        max(valid_pairs, key=lambda p: p["efficiency"])
+        if valid_pairs
+        else min(round_pairs, key=lambda p: p["efficiency"])
+    )
     docs = results[n_big]["docs"]
     tp_small = docs / best_pair["sec_small"]
     tp_big = docs / best_pair["sec_big"]
     tp_small_x = results[n_small]["docs"] / results[n_small]["sec"]
     tp_big_x = results[n_big]["docs"] / results[n_big]["sec"]
     eff_x = tp_big_x / ((n_big / n_small) * tp_small_x)
+    eff_median = statistics.median(p["efficiency"] for p in round_pairs)
     return {
         "n_small": n_small,
         "n_big": n_big,
@@ -395,11 +388,10 @@ def _scaling_lc(corpus_path: str, corpus_docs: int, cores: int,
         "sec_big": best_pair["sec_big"],
         "docs_per_sec_small": round(tp_small, 1),
         "docs_per_sec_big": round(tp_big, 1),
-        "efficiency": min(best_pair["efficiency"], 1.0),
-        "efficiency_raw_best": best_pair["efficiency"],
-        "efficiency_median": round(
-            statistics.median(p["efficiency"] for p in round_pairs), 3
-        ),
+        # gate statistic: median paired efficiency, fixed round count
+        "efficiency": round(min(eff_median, 1.0), 3),
+        "efficiency_median": round(eff_median, 3),
+        "efficiency_best_pair": best_pair["efficiency"],
         "efficiency_xwindow": round(eff_x, 3),
         "rounds": round_pairs,
     }
@@ -417,12 +409,15 @@ def _scaling_table(s) -> list:
         "",
         f"**efficiency = throughput({s['n_big']} exec) / "
         f"({s['n_big'] // s['n_small']} × throughput({s['n_small']} exec)) "
-        f"= {s['efficiency']}** (best paired round of "
-        f"{[p['efficiency'] for p in s['rounds']]}, clamped at 1.0 — a "
-        f"superlinear pair means VM steal hit the small side, not "
-        f"super-scaling; median across rounds {s['efficiency_median']}; "
-        f"cross-window ratio "
-        f"{s['efficiency_xwindow']}; {s['docs']} docs/pass)",
+        f"= {s['efficiency']}** — the MEDIAN paired efficiency over a "
+        f"fixed, pre-registered {len(s['rounds'])} rounds of "
+        f"{[p['efficiency'] for p in s['rounds']]} (the 0.8 rule gates "
+        f"on this central statistic; best clean pair "
+        f"{s['efficiency_best_pair']} and cross-window ratio "
+        f"{s['efficiency_xwindow']} are reported, never gate; a raw "
+        f"pair > 1.0 would be excluded from best-pair selection as a "
+        f"corrupted sample — VM steal on the small side; "
+        f"{s['docs']} docs/pass)",
     ]
 
 
@@ -517,33 +512,42 @@ def _write_baseline_md(
         "shared resource is the storage scan.",
         "",
         (
-            "**Rule met directly:** the full-box pair measured "
-            f"**{scaling_fullbox['efficiency']} ≥ 0.8** this window.  "
-            "Engine-only decomposition (measured ÷ clamped hardware "
-            f"control {min(1.0, kernel_ctl['efficiency_8_to_32'])}) = "
-            f"**{scaling_fullbox['engine_efficiency']}**."
-            if scaling_fullbox["efficiency"] >= 0.8
-            else "**Engine-only decomposition (full box):** measured "
-            "full-box efficiency ÷ same-window hardware control (8→32, "
-            "clamped at 1.0) = "
-            f"{scaling_fullbox['efficiency']} / "
-            f"{min(1.0, kernel_ctl['efficiency_8_to_32'])} = "
-            f"**{scaling_fullbox['engine_efficiency']}** — the falloff "
-            "beyond the ≥0.8 rule is what this single host's shared "
-            "memory controller imposes on ANY 32-way computation (the "
-            "Spark-free kernel control hits the same wall with zero "
-            "engine code in the loop); the engine's own contribution is "
-            "the decomposed number."
+            "**Rule verdict (N vs 4N executors, median-gated):** the "
+            f"headline pair measured **{scaling['efficiency']}"
+            f"{' ≥ 0.8 — rule met' if scaling['efficiency'] >= 0.8 else ' < 0.8 — rule NOT met this window'}** "
+            "(median of a fixed round count; no optional stopping)."
         ),
         "",
-        "**Window record:** the full-box pair has measured **≥0.8 "
-        "directly** in multiple r4 full-bench runs (0.945 — preserved "
-        "as `BENCH/bench_r4_run2.json`; 0.855 paired / 0.821 even "
-        "cross-window, 0.84) and in r3 side experiments (0.801, 0.872 — "
-        "`BENCH/exp_fullbox_r3.py`; see this file's git history for the "
-        "full tables).  The 2-core headline pair has passed ≥0.8 in "
-        "every window ever measured (r1 0.916, r2 0.825, r3 0.885-0.913, "
-        "r4 0.854-0.982).",
+        (
+            "**Full-box supplementary probe:** median "
+            f"{scaling_fullbox['efficiency']}"
+            + (
+                " ≥ 0.8 — clears the rule even on the stricter "
+                "all-32-CPU configuration.  "
+                if scaling_fullbox["efficiency"] >= 0.8
+                else " < 0.8.  "
+            )
+            + "Engine-only decomposition: median full-box efficiency ÷ "
+            "same-window hardware control (Spark-free kernel, 8→32 "
+            "pinned procs, clamped at 1.0) = "
+            f"{scaling_fullbox['efficiency']} / "
+            f"{min(1.0, kernel_ctl['efficiency_8_to_32'])} = "
+            f"**{scaling_fullbox['engine_efficiency']}** — any falloff "
+            "below the control is what this single host's shared "
+            "memory controller imposes on ANY 32-way computation (the "
+            "control hits the same wall with zero engine code in the "
+            "loop); the engine's own contribution is the decomposed "
+            "number."
+        ),
+        "",
+        "**Window record:** the 2-core headline pair has cleared ≥0.8 "
+        "in every window ever measured (r1 0.916, r2 0.825, r3 "
+        "0.885-0.913, r4 0.854-0.982 with median 0.949).  Full-box "
+        "single pairs have recorded 0.80-0.945 in quiet windows "
+        "(`BENCH/bench_r4_run2.json`, `BENCH/exp_fullbox_r3.py`) and "
+        "0.62-0.76 in loaded ones; its median reflects that spread, "
+        "which is why the decomposition against the same-window "
+        "hardware control is reported alongside.",
         "",
         "## Skew (0.1% pathological docs — 1600-page bigdoc, giant-media "
         "bigmedia, superlinear-recipe bigtable — clustered in their own "
@@ -815,19 +819,15 @@ def main(quick: bool = False) -> None:
             quick=True,
         )
         return
-    scaling = _scaling_lc(
-        flat, docs, cores=2, rounds=3, target=0.8, max_rounds=4
-    )
+    scaling = _scaling_lc(flat, docs, cores=2, rounds=3)
     # The full-box pair is the noisiest measurement on this host (all
     # 32 CPUs busy -> shared memory-controller contention + VM steal),
-    # so it runs adaptively: at least 3 paired rounds, extending up to
-    # 6 until one pair clears the 0.8 rule inside a single quiet
-    # window; every round's pair lands in the record either way.  Caps
-    # bound the whole bench at ~1 h so the per-round driver run always
-    # reaches its result JSON.
-    scaling_fullbox = _scaling_lc(
-        flat, docs, cores=CPUS // 4, rounds=3, target=0.8, max_rounds=6
-    )
+    # so it gets more FIXED rounds (5) for a stabler median — the
+    # round count is pre-registered, never extended adaptively (r4
+    # ADVICE: optional stopping on the gate statistic guarantees
+    # crossing any threshold under noise).  Total bench stays under
+    # ~1 h so the per-round driver run always reaches its result JSON.
+    scaling_fullbox = _scaling_lc(flat, docs, cores=CPUS // 4, rounds=5)
     kernel_ctl = _kernel_scaling(flat)
     # Engine-only decomposition: the kernel control runs the same docs
     # through the same numpy kernel with NO Spark in the loop, in the

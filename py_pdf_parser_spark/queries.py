@@ -1643,10 +1643,10 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
              ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS cum_before
+         ), 0) AS BIGINT) AS cum_before
   FROM t
 )
 """
@@ -1693,8 +1693,13 @@ SELECT doc_id, n_tokens, cum_before // 2048 AS shard_id FROM c""",
 )
 def td_token_shards(spark, sf_dir):
     """Fixed-token-budget training-shard assignment (contiguous
-    packing by distributed prefix sum — packing.token_shards)."""
-    return packing.token_shards(_docs_table(spark, sf_dir), budget=2048)
+    packing by distributed prefix sum — packing.token_shards).
+
+    bucket_width=64 (not the 2^20 scale default) so the sf corpus
+    (500-60k docs) exercises the multi-bucket decomposition."""
+    return packing.token_shards(
+        _docs_table(spark, sf_dir), budget=2048, bucket_width=64
+    )
 
 
 @q(
@@ -1732,13 +1737,16 @@ def td_chunk_documents(spark, sf_dir):
     + """
 SELECT cum_before // 2048 AS shard_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS token_sum,
-       ROUND(SUM(n_tokens) / 2048, 6) AS fill
+       CAST(SUM(n_tokens) AS BIGINT) AS token_sum,
+       ROUND(CAST(SUM(n_tokens) AS BIGINT) / 2048, 6) AS fill
 FROM c GROUP BY 1""",
 )
 def td_shard_stats(spark, sf_dir):
-    """Per-shard packing manifest (docs, tokens, fill factor)."""
-    return packing.shard_stats(_docs_table(spark, sf_dir), budget=2048)
+    """Per-shard packing manifest (docs, tokens, fill factor).
+    bucket_width=64: see td_token_shards."""
+    return packing.shard_stats(
+        _docs_table(spark, sf_dir), budget=2048, bucket_width=64
+    )
 
 
 @q(

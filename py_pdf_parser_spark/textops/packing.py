@@ -46,11 +46,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# Default value-range bucket width.  At 10^12 docs this yields ~10^6
-# bucket-total rows for the tiny prefix stage; at bench scale it still
-# exercises multiple buckets (sf0.01 = 500 docs / width 64 = 8
-# buckets).  Width only affects the decomposition, never the result.
-DEFAULT_BUCKET_WIDTH = 64
+# Default value-range bucket width: 2^20, matching the module
+# docstring's scale argument — at 10^12 docs the stage-3
+# single-partition prefix runs over ~10^6 bucket-total rows
+# (kilobytes), never corpus/64 (r4 ADVICE: a width-64 default
+# recreates a corpus-scale single-partition stage at 10^10+ docs).
+# Width only affects the decomposition, never the result; small-scale
+# callers (queries.py, bench, tests) pass a small width explicitly so
+# multi-bucket paths stay exercised at 500-doc corpora.
+DEFAULT_BUCKET_WIDTH = 1 << 20
 
 
 def token_shards(
