@@ -687,6 +687,29 @@ class TestTokenShards:
         )
         assert a == b
 
+    def test_chunk_then_shard_reconciles(self, spark):
+        """The chunk->pack composition (td_corpus_to_shards shape):
+        chunk_documents output re-keyed as doc_id*2^20+chunk_idx packs
+        into shards whose token sums reconcile EXACTLY to the chunk
+        table's total, with every shard id in a contiguous-ish range
+        (a shard may be absorbed by an oversize doc, never negative or
+        beyond total//budget)."""
+        docs = self._docs(spark, n=120, seed=11)
+        chunks = packing.chunk_documents(docs, chunk_tokens=8, overlap=2)
+        toks = chunks.select(
+            (F.col("doc_id") * (1 << 20) + F.col("chunk_idx")).alias(
+                "doc_id"
+            ),
+            F.col("n_chunk_tokens").alias("n_tokens"),
+        )
+        stats = packing.shard_stats(
+            docs, budget=50, tokens=toks, bucket_width=64
+        ).collect()
+        total = chunks.groupBy().sum("n_chunk_tokens").collect()[0][0]
+        assert sum(r.token_sum for r in stats) == total
+        assert all(0 <= r.shard_id <= total // 50 for r in stats)
+        assert all(r.n_docs > 0 for r in stats)
+
 
 class TestDecontaminate:
     def test_planted_overlap_counts_and_flags(self, spark):
