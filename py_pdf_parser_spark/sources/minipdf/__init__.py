@@ -8,8 +8,10 @@ tests/data/pdfs/*.pdf).  Implements the public ISO 32000-1 object /
 xref / content layers plus pdfminer.six's publicly documented layout
 rules; decrypts standard-security-handler documents (RC4 / AES-128).
 
-Not a general-purpose PDF library: no rendering, no forms, no
-vertical writing, image payloads stay opaque.
+Not a general-purpose PDF library: no rendering, no forms, image
+payloads stay opaque.  Vertical text (rotated glyph runs / CJK
+columns) is grouped when ``LAParams(detect_vertical=True)``, same
+public gate as pdfminer.
 """
 
 from .crypto import PDFPasswordIncorrect

@@ -88,10 +88,20 @@ class Box:
             return min(abs(self.y0 - other.y1), abs(self.y1 - other.y0))
         return 0.0
 
+    def hoverlap(self, other: "Box") -> float:
+        if self.is_hoverlap(other):
+            return min(abs(self.x0 - other.x1), abs(self.x1 - other.x0))
+        return 0.0
+
     def hdistance(self, other: "Box") -> float:
         if self.is_hoverlap(other):
             return 0.0
         return min(abs(self.x0 - other.x1), abs(self.x1 - other.x0))
+
+    def vdistance(self, other: "Box") -> float:
+        if self.is_voverlap(other):
+            return 0.0
+        return min(abs(self.y0 - other.y1), abs(self.y1 - other.y0))
 
 
 class Char(Box):
@@ -178,12 +188,16 @@ class TextLine(Box):
         return "".join(o.get_text() for o in self._objs)
 
     # --- box-grouping alignment predicates (pdfminer public rules)
+    def margin_d(self, ratio: float) -> float:
+        return ratio * self.height
+
     def neighbor_window(self, d: float) -> Tuple[float, float, float, float]:
         return (self.x0, self.y0 - d, self.x1, self.y1 + d)
 
     def is_neighbor(self, other: "TextLine", d: float) -> bool:
         return (
-            abs(other.height - self.height) <= d
+            type(other) is type(self)
+            and abs(other.height - self.height) <= d
             and (
                 abs(other.x0 - self.x0) <= d
                 or abs(other.x1 - self.x1) <= d
@@ -191,6 +205,50 @@ class TextLine(Box):
                     (other.x0 + other.x1) / 2 - (self.x0 + self.x1) / 2
                 )
                 <= d
+            )
+        )
+
+
+class VertTextLine(TextLine):
+    """A vertical text line (pdfminer LTTextLineVertical surface):
+    chars advance top-to-bottom; word-margin spaces track the y axis;
+    box neighbors are same-WIDTH lines with y0/y1 alignment inside a
+    horizontally-expanded window."""
+
+    def __init__(self, word_margin: float) -> None:
+        super().__init__(word_margin)
+        self._last_y0 = -INF
+
+    def add(self, obj: Char) -> None:
+        if self.word_margin:
+            margin = self.word_margin * max(obj.width, obj.height)
+            if self._last_y0 > obj.y1 + margin and self._objs:
+                self._objs.append(Anno(" "))
+        self._last_y0 = obj.y0
+        # bbox growth + append, without TextLine's x-axis word margin
+        self._objs.append(obj)
+        self.set_bbox(
+            (
+                min(self.x0, obj.x0),
+                min(self.y0, obj.y0),
+                max(self.x1, obj.x1),
+                max(self.y1, obj.y1),
+            )
+        )
+
+    def margin_d(self, ratio: float) -> float:
+        return ratio * self.width
+
+    def neighbor_window(self, d: float) -> Tuple[float, float, float, float]:
+        return (self.x0 - d, self.y0, self.x1 + d, self.y1)
+
+    def is_neighbor(self, other: "TextLine", d: float) -> bool:
+        return (
+            type(other) is type(self)
+            and abs(other.width - self.width) <= d
+            and (
+                abs(other.y0 - self.y0) <= d
+                or abs(other.y1 - self.y1) <= d
             )
         )
 
@@ -227,6 +285,14 @@ class TextBox(Box):
 
     def get_text(self) -> str:
         return "".join(line.get_text() for line in self._objs)
+
+
+class TextBoxVertical(TextBox):
+    """Vertical-writing text box: rightmost line first (CJK column
+    reading order — pdfminer LTTextBoxVertical)."""
+
+    def analyze(self) -> None:
+        self._objs.sort(key=lambda line: -line.x1)
 
 
 class Figure(Box):
@@ -275,8 +341,11 @@ class PageLayout(Box):
 def group_chars_into_lines(
     chars: List[Char], laparams: LAParams
 ) -> List[TextLine]:
-    """Sequential char grouping (pdfminer group_objects, horizontal
-    only — the reference never enables detect_vertical)."""
+    """Sequential char grouping (pdfminer group_objects).  Horizontal
+    alignment always; vertical alignment only when
+    ``laparams.detect_vertical`` (pdfminer's public gate — the
+    reference never enables it, but a crawl corpus with rotated /
+    CJK-column text does)."""
     lines: List[TextLine] = []
     line: Optional[TextLine] = None
     obj0: Optional[Char] = None
@@ -290,13 +359,30 @@ def group_chars_into_lines(
                 and obj0.hdistance(obj1)
                 < max(obj0.width, obj1.width) * laparams.char_margin
             )
-            if halign and line is not None:
+            valign = (
+                laparams.detect_vertical
+                and obj0.is_compatible(obj1)
+                and obj0.is_hoverlap(obj1)
+                and min(obj0.width, obj1.width) * laparams.line_overlap
+                < obj0.hoverlap(obj1)
+                and obj0.vdistance(obj1)
+                < max(obj0.height, obj1.height) * laparams.char_margin
+            )
+            if (
+                halign
+                and line is not None
+                and type(line) is TextLine
+            ) or (valign and isinstance(line, VertTextLine)):
                 line.add(obj1)
             elif line is not None:
                 lines.append(line)
                 line = None
             else:
-                if halign:
+                if valign and not halign:
+                    line = VertTextLine(laparams.word_margin)
+                    line.add(obj0)
+                    line.add(obj1)
+                elif halign and not valign:
                     line = TextLine(laparams.word_margin)
                     line.add(obj0)
                     line.add(obj1)
@@ -322,7 +408,7 @@ def group_lines_into_boxes(
     boxes: Dict[int, TextBox] = {}  # id(line) -> box
     box_lines: Dict[int, List[TextLine]] = {}  # id(box) -> members
     for line in live:
-        d = laparams.line_margin * line.height
+        d = line.margin_d(laparams.line_margin)
         wx0, wy0, wx1, wy1 = line.neighbor_window(d)
         members = [line]
         for other in live:
@@ -345,7 +431,11 @@ def group_lines_into_boxes(
                 for m in list(boxes):
                     if boxes[m] is prior:
                         del boxes[m]
-        box = TextBox()
+        box = (
+            TextBoxVertical()
+            if isinstance(line, VertTextLine)
+            else TextBox()
+        )
         seen = set()
         mlist = []
         for m in members:
@@ -379,9 +469,17 @@ def analyze_chars(chars: List[Char], laparams: LAParams) -> List[TextBox]:
     )
     for box in boxes:
         box.analyze()
-    # boxes_flow=None ordering: top-to-bottom, then left-to-right.
-    # (The reference re-orders elements itself; only contents matter.)
-    boxes.sort(key=lambda b: (-b.y0, b.x0))
+    # boxes_flow=None ordering (pdfminer's getkey): vertical boxes
+    # first, right-to-left then top-to-bottom; horizontal boxes
+    # top-to-bottom then left-to-right.  (The reference re-orders
+    # elements itself; only contents matter.)
+    boxes.sort(
+        key=lambda b: (
+            (0, -b.x1, -b.y0)
+            if isinstance(b, TextBoxVertical)
+            else (1, -b.y0, b.x0)
+        )
+    )
     for i, box in enumerate(boxes):
         box.index = i
     return boxes
