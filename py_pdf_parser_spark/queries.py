@@ -2767,7 +2767,12 @@ def td_corpus_to_shards(spark, sf_dir):
 
     Scale shape: composition of already-audited stages; the only new
     plan pieces are two single-row aggregates broadcast back onto the
-    (tiny) shard manifest."""
+    (tiny) shard manifest.  NOTE the chunk key is SPARSE (stride 2^20
+    per doc), so the packing bucket_width must scale with the stride —
+    at production scale pass width ~2^40 (2^20 keys/bucket x 2^20
+    stride) to keep the bucket-totals prefix at ~corpus/2^20 rows;
+    packing.DEFAULT_BUCKET_WIDTH documents the rule.  Here width=64
+    exercises multi-bucket decomposition at sf scale."""
     from .textops.prep import corpus_prep
 
     kept = corpus_prep(

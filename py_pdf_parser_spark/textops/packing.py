@@ -54,6 +54,14 @@ from pyspark.sql.window import Window
 # Width only affects the decomposition, never the result; small-scale
 # callers (queries.py, bench, tests) pass a small width explicitly so
 # multi-bucket paths stay exercised at 500-doc corpora.
+#
+# The width is in KEY units, not row counts: it assumes ~dense int64
+# ids (the ingest contract), giving ~2^20 ROWS per bucket.  For a
+# SPARSE key space — e.g. the composed chunk key
+# ``doc_id * 2^20 + chunk_idx`` (td_corpus_to_shards) — scale the
+# width by the key stride (2^20 * 2^20 = 2^40 there), or the
+# bucket-totals table degenerates to one row per source doc and the
+# stage-3 prefix is corpus-sized again.
 DEFAULT_BUCKET_WIDTH = 1 << 20
 
 

@@ -709,6 +709,13 @@ class TestTokenShards:
         assert sum(r.token_sum for r in stats) == total
         assert all(0 <= r.shard_id <= total // 50 for r in stats)
         assert all(r.n_docs > 0 for r in stats)
+        # the production width for this SPARSE key shape (stride 2^20
+        # per doc -> width 2^40 keeps ~2^20 keys per bucket) yields
+        # the identical manifest: width is decomposition-only
+        wide = packing.shard_stats(
+            docs, budget=50, tokens=toks, bucket_width=1 << 40
+        ).collect()
+        assert sorted(map(tuple, wide)) == sorted(map(tuple, stats))
 
 
 class TestDecontaminate:
