@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "emb_kmeans_centroids",
     "emb_kmeans_ivf_topk",
     "emb_dup_pairs",
+    "emb_semantic_dedup",
     "ev_windowed_counts",
     "ev_sessionize",
     "ev_json_props",

@@ -24,6 +24,7 @@ from .kernel.layout import _MEMO_SPEC, _ORDSUM_SPEC  # golden specs
 from .pipeline import extract_spans, parse_elements
 from .synth import (
     ensure_borderline_corpus,
+    ensure_embdup_corpus,
     ensure_family_corpus,
     ensure_html_corpus,
     ensure_oracle_corpus,
@@ -2408,6 +2409,74 @@ def emb_dup_pairs(spark, sf_dir):
     )
 
 
+def _semantic_dedup_oracle() -> str:
+    """Stand-in-centroid assignment over the PLANTED near-dup fixture
+    (the emb_ivf_topk fragment re-pointed at read_parquet) +
+    chunk-capped within-cell pairs (the emb_dup_pairs fragment) +
+    recursive transitive closure (the corpus_prep fragment)."""
+    return (
+        """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM read_parquet('{embdup_path}/*.parquet')
+), c2 AS (
+  SELECT vec_id AS cell_id, emb AS c FROM e WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, e.emb, c.cell_id,
+         list_cosine_similarity(e.emb, c.c) AS c_cos
+  FROM e CROSS JOIN c2 c
+), assigned AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), cnt AS (
+  SELECT cell_id, COUNT(*) AS n FROM assigned GROUP BY cell_id
+), ac AS (
+  SELECT a.vec_id, a.emb, a.cell_id,
+         CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % CAST(ceil(c.n / 256.0) AS BIGINT) AS chunk
+  FROM assigned a JOIN cnt c USING (cell_id)
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ac a JOIN ac b
+    ON a.cell_id = b.cell_id AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.9
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM p
+), reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM e
+  UNION
+  SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a
+), cl AS (
+  SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       vec_id = cluster_id AS is_rep
+FROM cl"""
+    )
+
+
+@q("emb_semantic_dedup", _semantic_dedup_oracle())
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): coarse-cell assignment -> chunk-capped within-cell cosine
+    pairs -> connected components -> one representative per semantic
+    cluster.  Runs over the PLANTED near-dup embedding fixture
+    (synth.ensure_embdup_corpus: deterministic 2-/3-clusters at cos
+    ~0.9998 plus singletons) so the collapse behavior is non-trivially
+    exercised — the corpus embeddings table has no near-dups by
+    construction (max within-cell cos 0.51 at sf0.01).  (vec_id,
+    cluster_id, is_rep); survivors = is_rep.  The trained-codebook
+    variant (centroids=kmeans_centroids) is unit-tested in
+    test_textops.py."""
+    emb = _embdup_table(spark, sf_dir)
+    return similarity.semantic_dedup(emb, threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # event-stream analytics (events table): time windows, sessions, JSON
 # ---------------------------------------------------------------------------
@@ -3314,6 +3383,20 @@ _BL_SHINGLES_DUCK = _SHINGLES_DUCK.replace(
 )
 
 
+def _embdup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted near-dup embedding fixture, spread + persisted (the
+    shared-fixture shape the bl_/pii_ tables use)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__embdup__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _spread(
+        spark.read.parquet(ensure_embdup_corpus(sf_of_dir(sf_dir)))
+    ).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
 def _bl_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "__borderline__")
     hit = _TABLE_CACHE.get(key)
@@ -3580,6 +3663,7 @@ def oracle_sql() -> Dict[str, str]:
         "html_path": ensure_html_corpus(ORACLE_SF),
         "borderline_path": ensure_borderline_corpus(ORACLE_SF),
         "pii_path": ensure_pii_corpus(ORACLE_SF),
+        "embdup_path": ensure_embdup_corpus(ORACLE_SF),
     }
     ensure_oracle_corpus(ORACLE_SF)
     out = {}

@@ -474,3 +474,74 @@ def ensure_pii_corpus(sf: float) -> str:
         pq.write_table(table, f"{tmp_dir}/part-{file_no:05d}.parquet")
     os.rename(tmp_dir, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# planted near-dup embedding fixture (semantic dedup)
+# ---------------------------------------------------------------------------
+
+EMBDUP_DIM = 16
+EMBDUP_ARROW_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+)
+
+
+def _prand(seed: int, pos: int) -> float:
+    """Deterministic platform-stable pseudo-random in [-1, 1)
+    (crc32-based, like the corpus shufflers above)."""
+    h = zlib.crc32(f"{seed}:{pos}".encode()) & 0xFFFFFFFF
+    return (h % 200000) / 100000.0 - 1.0
+
+
+def _embdup_unit(seed: int, dim: int = EMBDUP_DIM) -> List[float]:
+    import math
+
+    vals = [_prand(seed, p) for p in range(dim)]
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def embdup_vector(i: int, dim: int = EMBDUP_DIM) -> List[float]:
+    """Planted-cluster rule (pure function of vec_id):
+    groups of 3 consecutive ids; member 0 = the group base direction,
+    member 1 = base + 0.02·jitter (cos ≈ 0.9998 — a semantic dup),
+    member 2 = another dup when group %% 3 == 0 (a 3-cluster), else an
+    independent direction (singleton).  Components rounded to 6dp so
+    the parquet floats are the exact values both engines read."""
+    g, m = divmod(i, 3)
+    if m == 0:
+        v = _embdup_unit(g * 1000003 + 17, dim)
+    elif m == 1 or g % 3 == 0:
+        base = _embdup_unit(g * 1000003 + 17, dim)
+        jit = _embdup_unit(g * 7919 + m * 104729 + 5, dim)
+        v = [b + 0.02 * x for b, x in zip(base, jit)]
+    else:
+        v = _embdup_unit(i * 15485863 + 9, dim)
+    return [float(round(x, 6)) for x in v]
+
+
+def embdup_corpus_path(sf: float) -> str:
+    return os.path.join(SYNTH_DIR, f"embdup_sf{sf}")
+
+
+def ensure_embdup_corpus(sf: float) -> str:
+    """Planted near-dup embedding corpus: n = 50000*sf vectors (sf0.01
+    -> 500) with deterministic 2- and 3-clusters and singletons."""
+    path = embdup_corpus_path(sf)
+    if os.path.exists(path):
+        return path
+    n_vecs = max(120, int(50000 * sf)) // 3 * 3
+    tmp_dir = path + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    for file_no, start in enumerate(range(0, n_vecs, DOCS_PER_FILE)):
+        idx = range(start, min(start + DOCS_PER_FILE, n_vecs))
+        table = pa.Table.from_pydict(
+            {
+                "vec_id": list(idx),
+                "embedding": [embdup_vector(i) for i in idx],
+            },
+            schema=EMBDUP_ARROW_SCHEMA,
+        )
+        pq.write_table(table, f"{tmp_dir}/part-{file_no:05d}.parquet")
+    os.rename(tmp_dir, path)
+    return path

@@ -332,6 +332,98 @@ def lsh_topk(
     )
 
 
+def semantic_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, n_cells: int = N_IVF_CELLS,
+    centroids: DataFrame = None, max_bucket: int = 256,
+) -> DataFrame:
+    """Semantic near-dup candidate pairs: cosine >= threshold WITHIN a
+    vector's (trained) k-means cell — the SemDeDup shape (Abbas et al.
+    2023, public): cluster with a coarse codebook, then compare only
+    inside a cluster, so the candidate space is corpus x cell-size,
+    never corpus x corpus.
+
+    Same scale guards as ``embedding_dup_pairs``: per-cell counts are
+    tiny (<= n_cells rows, broadcast) and oversized cells split into
+    deterministic md5 chunks of ~``max_bucket``, bounding the
+    worst-cell join at ~(n/cap)·C(cap,2).  Pass ``centroids``
+    (kmeans_centroids output) to pair within the trained codebook's
+    cells; default = the deterministic first-n-vectors stand-in.
+    """
+    assigned = (
+        _ivf_scored(emb, n_cells, centroids=centroids)
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "_norm", "cell_id")
+    )
+    counts = assigned.groupBy("cell_id").agg(F.count("*").alias("_n"))
+    chunk = F.expr(
+        "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) "
+        "as bigint)"
+    ) % F.ceil(F.col("_n") / F.lit(max_bucket))
+    hashed = (
+        assigned.join(F.broadcast(counts), "cell_id")
+        .withColumn("chunk", chunk)
+        .drop("_n")
+    )
+    a = hashed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("_norm").alias("n_a"),
+        "cell_id", "chunk",
+    )
+    b = hashed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("_norm").alias("n_b"),
+        "cell_id", "chunk",
+    )
+    dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
+    return (
+        a.join(b, ["cell_id", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (F.col("n_a") * F.col("n_b")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = 0.9, n_cells: int = N_IVF_CELLS,
+    centroids: DataFrame = None, max_bucket: int = 256,
+    max_iter: int = 25, stats: dict = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding column:
+    (vec_id, cluster_id, is_rep) where cluster_id = min vec_id of the
+    vector's within-cell near-dup component and a vector survives the
+    dedup iff ``is_rep``.
+
+    Composition of audited stages: trained-cell assignment (broadcast
+    argmax — corpus never shuffles), chunk-capped within-cell pairs
+    (``semantic_dup_pairs``), then the same pointer-jumping
+    connected-components used by text dup_clusters (O(log diameter)
+    rounds, each one join + aggregate on id keys).  Pairs alone don't
+    compose — A~B and B~C must land one representative even when A~C
+    was never scored.
+    """
+    from . import dedup
+
+    pairs = semantic_dup_pairs(
+        emb, threshold=threshold, n_cells=n_cells,
+        centroids=centroids, max_bucket=max_bucket,
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id")).distinct()
+    edges = pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    cc = dedup.connected_components(
+        nodes, edges, max_iter=max_iter, stats=stats
+    )
+    return cc.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"),
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, max_bucket: int = 256
 ) -> DataFrame:

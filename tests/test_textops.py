@@ -564,6 +564,115 @@ class TestKMeansCentroids:
             assert "cell_id" in keys
 
 
+class TestSemanticDedup:
+    """SemDeDup-style dedup: cells -> within-cell pairs -> CC reps."""
+
+    N = 120
+
+    def _emb(self, spark):
+        from py_pdf_parser_spark.synth import embdup_vector
+
+        return spark.createDataFrame(
+            [(i, embdup_vector(i)) for i in range(self.N)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def _reference_clusters(self):
+        """Plain-python reference with the same rules: first-16
+        stand-in centroids, unrounded-cos argmax assignment (first max
+        = lowest cell_id tie-break), md5-chunking (all-zero below the
+        cap), pairs at round(cos,4) >= 0.9, union-find min-label."""
+        import hashlib
+        import math
+
+        from py_pdf_parser_spark.synth import embdup_vector
+
+        vecs = {i: embdup_vector(i) for i in range(self.N)}
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        cents = {c: vecs[c] for c in range(16)}
+        cell = {
+            i: max(
+                sorted(cents),
+                key=lambda c: (cos(vecs[i], cents[c]), -c),
+            )
+            for i in vecs
+        }
+        # chunking: every cell here is under the 256 cap -> chunk 0
+        for i in vecs:
+            n_in_cell = sum(1 for j in vecs if cell[j] == cell[i])
+            assert n_in_cell <= 256
+            assert (
+                int(
+                    hashlib.md5(str(i).encode()).hexdigest()[:8], 16
+                )
+                % math.ceil(n_in_cell / 256)
+                == 0
+            )
+        parent = {i: i for i in vecs}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in vecs:
+            for b in vecs:
+                if a < b and cell[a] == cell[b] and round(
+                    cos(vecs[a], vecs[b]), 4
+                ) >= 0.9:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in vecs}
+
+    def test_matches_plain_python_reference(self, spark):
+        want = self._reference_clusters()
+        got = {
+            r.vec_id: r.cluster_id
+            for r in similarity.semantic_dedup(
+                self._emb(spark), threshold=0.9
+            ).collect()
+        }
+        assert got == want
+        # the planted structure actually collapses something
+        assert sum(1 for i, c in got.items() if i != c) > 20
+
+    def test_rep_structure_invariants(self, spark):
+        out = similarity.semantic_dedup(
+            self._emb(spark), threshold=0.9
+        ).collect()
+        assert len(out) == self.N
+        by_id = {r.vec_id: r for r in out}
+        for r in out:
+            assert r.cluster_id <= r.vec_id  # min-label component id
+            assert r.is_rep == (r.vec_id == r.cluster_id)
+            assert by_id[r.cluster_id].is_rep  # the label IS a rep
+
+    def test_trained_codebook_variant(self, spark):
+        """semantic_dedup(centroids=kmeans_centroids(...)) keeps the
+        rep invariants and still collapses the planted dups (trained
+        cells can only move whole near-dup groups together — members
+        at cos ~0.9998 share a cell for any sane codebook)."""
+        emb = self._emb(spark)
+        cents = similarity.kmeans_centroids(emb, n_cells=8, n_iters=1)
+        out = similarity.semantic_dedup(
+            emb, threshold=0.9, centroids=cents
+        ).collect()
+        assert len(out) == self.N
+        collapsed = sum(1 for r in out if not r.is_rep)
+        assert collapsed > 20
+        by_id = {r.vec_id: r for r in out}
+        for r in out:
+            assert by_id[r.cluster_id].is_rep
+
+
 class TestTokenShards:
     """token_shards = distributed exclusive-cumsum // budget."""
 
