@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "td_chunk_documents",
     "td_corpus_to_shards",
     "td_decontaminate",
+    "td_substring_dedup",
+    "td_lm_perplexity",
     "html_line_dedup",
 ]
 

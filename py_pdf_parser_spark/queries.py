@@ -1632,6 +1632,72 @@ def td_token_count(spark, sf_dir):
     return analysis.token_count(_docs_table(spark, sf_dir))
 
 
+@q(
+    "td_substring_dedup",
+    """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM d),
+toks AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, w[p] AS tok FROM tx),
+kx AS (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS j FROM d),
+kg AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS pos,
+         CAST('0x' || substr(md5(array_to_string(w[j + 1: j + 5], '_')),
+                             1, 15) AS BIGINT) AS h
+  FROM kx),
+dup_h AS (SELECT h FROM kg GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+cx AS (SELECT kg.doc_id, unnest(range(kg.pos, kg.pos + 5)) AS cp
+       FROM kg JOIN dup_h USING (h)),
+cov AS (SELECT DISTINCT doc_id, CAST(cp AS BIGINT) AS cpos FROM cx),
+f AS (
+  SELECT toks.doc_id, toks.pos, toks.tok, cov.cpos IS NOT NULL AS is_dup
+  FROM toks LEFT JOIN cov
+    ON toks.doc_id = cov.doc_id AND toks.pos = cov.cpos)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_tokens,
+       COALESCE(string_agg(CASE WHEN NOT is_dup THEN tok END,
+                           ' ' ORDER BY pos), '') AS clean_text
+FROM f GROUP BY doc_id""",
+)
+def td_substring_dedup(spark, sf_dir):
+    """Exact substring (duplicated-span) dedup, the k-gram-hash
+    formulation of Lee et al. 2022 suffix-array dedup: token spans
+    whose exact 5-gram occurs in >= 2 distinct documents are removed,
+    the rest of each document survives in order.  k=5 on the driver
+    corpus marks ~14% of docs (planted exact dups + organic
+    collisions) — non-trivial in both directions."""
+    return dedup.substring_dedup(_docs_table(spark, sf_dir), k=5)
+
+
+@q(
+    "td_lm_perplexity",
+    """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS v_size FROM c),
+lm AS (
+  SELECT tok,
+         CAST(round(log2((c + 1.0) / (n_total + v_size)) * 1000000)
+              AS BIGINT) AS lp
+  FROM c, s)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(-CAST(SUM(lp) AS BIGINT) / COUNT(*) / 1000000.0, 4)
+           AS bits_per_token
+FROM t JOIN lm USING (tok)
+GROUP BY t.doc_id""",
+)
+def td_lm_perplexity(spark, sf_dir):
+    """CCNet-style unigram-LM quality score: per-doc bits-per-token
+    under an add-one-smoothed unigram model trained on the corpus
+    itself.  Fixed-point micro-bit log-probs make the per-doc sum
+    exact-integer (partition-order-free), so Spark and DuckDB agree
+    bit-for-bit; the single float op is one log2 per distinct token."""
+    return analysis.lm_perplexity(_docs_table(spark, sf_dir))
+
+
 # Shared CTE for the shard-packing oracles: whitespace token counts +
 # the exclusive running sum in doc_id order.  The Spark side computes
 # the identical cumsum DISTRIBUTED (value-range buckets + tiny prefix

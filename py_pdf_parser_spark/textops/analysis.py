@@ -295,3 +295,75 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.regexp_count(t, F.lit(IP_RE)).cast("long").alias("n_ips"),
         clean.alias("clean_text"),
     )
+
+
+LM_MICRO = 1_000_000  # fixed-point scale for per-token log-probs
+
+
+def unigram_lm(docs: DataFrame) -> DataFrame:
+    """Corpus-trained unigram language model: (tok, lp) where lp is the
+    add-one-smoothed log2-probability in MICRO-BITS (a BIGINT,
+    round(log2((c+1)/(N+V)) * 1e6)).
+
+    Fixed-point on purpose: per-document scores are SUMS over tokens,
+    and float sums are partition-order-dependent — integer micro-bits
+    sum exactly and order-free, so the same corpus scores identically
+    on any partitioning (and in any SQL engine).  The only float op is
+    one log2 per DISTINCT token, computed once here.
+
+    Scale shape: one tok shuffle for the counts (map-side combinable),
+    a 1-row totals aggregate broadcast back over the vocab.  The vocab
+    table is the broadcastable artifact (~10^6-10^8 rows at web scale;
+    cap to a top-V vocab with an explicit floor row if it outgrows the
+    broadcast threshold)."""
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.round(
+            F.log2(
+                (F.col("c") + F.lit(1)).cast("double")
+                / (F.col("n_total") + F.col("v_size")).cast("double")
+            )
+            * F.lit(LM_MICRO)
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+
+
+def lm_perplexity(docs: DataFrame, lm: DataFrame = None) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020,
+    public): per-document bits-per-token under a unigram LM — the cheap
+    stand-in for the KenLM perplexity filter every web-corpus pipeline
+    runs (high bits-per-token = gibberish / boilerplate soup; low =
+    repetitive spam; the middle band is kept).
+
+    -> (doc_id, n_tokens, bits_per_token), bits_per_token rounded to
+    4dp from the exact integer micro-bit sum (see ``unigram_lm``).
+
+    ``lm`` defaults to a model trained on ``docs`` itself; pass a
+    pre-trained table to score a stream against a fixed reference
+    corpus.  Scale shape: the LM broadcasts, so scoring is ONE token
+    explode + broadcast-join + doc_id aggregation (the explode's
+    partitioning carries through — no extra exchange)."""
+    model = lm if lm is not None else unigram_lm(docs)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum("lp") / F.count("*") / F.lit(float(LM_MICRO)), 4
+            ).alias("bits_per_token"),
+        )
+    )

@@ -813,3 +813,106 @@ def decontaminate(
             ).alias("contaminated"),
         )
     )
+
+
+SUBSTR_K = 5  # dup-span k-gram width (tokens)
+
+
+def _h60(col_expr: str) -> str:
+    """SQL: 60-bit integer hash of a string via md5 prefix (15 hex
+    chars) — the wider variant of ``_h`` for corpus-global k-gram keys,
+    where 32 bits would birthday-collide at realistic gram counts."""
+    return f"cast(conv(substring(md5({col_expr}), 1, 15), 16, 10) as bigint)"
+
+
+def substring_dedup(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Exact substring (duplicated-span) deduplication — the k-gram-hash
+    formulation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    public): a k-token span whose exact text occurs in >= 2 DISTINCT
+    documents is a duplicated span; every token position it covers is
+    marked, and each document's surviving tokens are reassembled in
+    original order.
+
+    -> (doc_id, n_tokens, dup_tokens, clean_text).  Unlike document- or
+    line-level dedup this removes the copied REGION only (quote farms,
+    syndicated paragraphs, licence blocks) and keeps the rest of the
+    document.  Cross-document occurrences only: a span repeated within
+    a single document is repetition (see ``analysis.repetition_stats``),
+    not corpus duplication.
+
+    Shape at scale: the suffix array of the original paper is a global
+    sort the cluster can't stream; hashing every k-gram instead needs
+    ONE shuffle keyed on the 60-bit gram hash for the global min/max
+    doc_id (map-side combinable — never count_distinct), a join of the
+    gram rows against the (true-dup-density-bounded) over-threshold
+    key set, and one doc_id aggregation for the ordered reassembly
+    (collect_list(struct(pos, tok)) + array_sort, the line_dedup
+    trick).  The gram build itself is the shingle_rows shape: token
+    posexplode + lead windows over (doc_id, pos) — codegen end-to-end,
+    the window's doc_id partitioning reused by the final aggregation.
+    60-bit hashes keep the shuffle narrow; at 10^12-gram scale accept
+    the ~birthday collision count or verify survivors against the gram
+    text (one extra bucket-local join) — documented, not silent.
+
+    The gram subtree is deliberately built TWICE (once under the global
+    aggregate, once under the covered-position join) rather than shared
+    through a ``Window.partitionBy(h)`` single pass: common k-grams
+    ("of the end of the") are web-scale hot keys, and only the groupBy
+    form crushes them map-side before the exchange — the window form
+    lands every occurrence of a hot gram on one reducer.  The duplicate
+    cost is narrow codegen CPU; the shuffle volume is identical."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = F.concat(gram, F.lit("_"), p)  # null past the doc tail
+    kg = (
+        toks.withColumn("g", gram)
+        .where(F.col("g").isNotNull())
+        .select("doc_id", "pos", F.expr(_h60("g")).alias("h"))
+    )
+    dup_h = (
+        kg.groupBy("h")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("h")
+    )
+    covered = (
+        kg.join(dup_h, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cpos"),
+        )
+        .dropDuplicates(["doc_id", "cpos"])
+        .withColumnRenamed("doc_id", "cdoc")
+    )
+    flagged = toks.join(
+        covered,
+        (F.col("doc_id") == F.col("cdoc")) & (F.col("pos") == F.col("cpos")),
+        "left",
+    ).select(
+        "doc_id", "pos", "tok", F.col("cpos").isNotNull().alias("is_dup")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("dup_tokens"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok", "is_dup"))
+                    ),
+                    lambda s: ~s["is_dup"],
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

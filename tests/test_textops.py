@@ -8,6 +8,7 @@ pyspark = pytest.importorskip("pyspark")
 from pyspark.sql import functions as F  # noqa: E402
 
 from py_pdf_parser_spark.textops import (  # noqa: E402
+    analysis,
     dedup,
     packing,
     similarity,
@@ -1010,3 +1011,105 @@ class TestMixtureSample:
         )
         assert "BroadcastHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestSubstringDedup:
+    def test_cross_doc_span_removed_rest_kept(self, spark):
+        """A 5-gram shared by two docs is scrubbed from BOTH; the
+        non-shared remainder survives in original order."""
+        shared = "alpha beta gamma delta epsilon"
+        docs = _docs(
+            spark,
+            [
+                (1, "intro one " + shared + " tail one"),
+                (2, shared + " other stuff here"),
+                (3, "completely unrelated text nothing shared at all"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.substring_dedup(docs, k=5).collect()
+        }
+        assert out[1]["dup_tokens"] == 5
+        assert out[1]["clean_text"] == "intro one tail one"
+        assert out[2]["dup_tokens"] == 5
+        assert out[2]["clean_text"] == "other stuff here"
+        assert out[3]["dup_tokens"] == 0
+        assert out[3]["clean_text"].startswith("completely unrelated")
+        assert out[3]["n_tokens"] == 7
+
+    def test_overlapping_dup_grams_cover_union(self, spark):
+        """A 6-token shared run = two overlapping dup 5-grams; covered
+        positions are the 6-token UNION, not double counted."""
+        run = "a b c d e f"
+        docs = _docs(
+            spark,
+            [(1, "x " + run + " y"), (2, run + " unrelated trailing")],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.substring_dedup(docs, k=5).collect()
+        }
+        assert out[1]["dup_tokens"] == 6
+        assert out[1]["clean_text"] == "x y"
+
+    def test_within_doc_repeat_is_not_corpus_dup(self, spark):
+        """A span repeated inside ONE doc is repetition, not corpus
+        duplication — nothing is removed."""
+        span = "p q r s t"
+        docs = _docs(
+            spark,
+            [(1, span + " mid " + span), (2, "other words only here now")],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.substring_dedup(docs, k=5).collect()
+        }
+        assert out[1]["dup_tokens"] == 0
+        assert out[1]["clean_text"] == span + " mid " + span
+
+
+class TestLmPerplexity:
+    def test_matches_plain_python_model(self, spark):
+        """bits_per_token == the hand-computed add-one unigram model,
+        through the same micro-bit fixed-point rounding."""
+        import math
+        from collections import Counter
+
+        rows = [
+            (1, "the cat sat"),
+            (2, "the dog sat sat"),
+            (3, "zebra quark"),
+        ]
+        toks = [t for _, s in rows for t in s.split(" ")]
+        c = Counter(toks)
+        n, v = len(toks), len(c)
+        lp = {
+            t: round(math.log2((k + 1) / (n + v)) * 1e6)
+            for t, k in c.items()
+        }
+        out = {
+            r["doc_id"]: r
+            for r in analysis.lm_perplexity(_docs(spark, rows)).collect()
+        }
+        for doc_id, s in rows:
+            ts = s.split(" ")
+            want = round(-sum(lp[t] for t in ts) / len(ts) / 1e6, 4)
+            assert out[doc_id]["n_tokens"] == len(ts)
+            assert out[doc_id]["bits_per_token"] == pytest.approx(want)
+        # rare tokens cost more bits than common ones
+        assert (
+            out[3]["bits_per_token"] > out[1]["bits_per_token"]
+        )
+
+    def test_pretrained_model_scores_new_docs(self, spark):
+        """Passing a pre-trained lm scores a disjoint stream against
+        the reference corpus (every stream token must be in-vocab)."""
+        train = _docs(spark, [(1, "a a b"), (2, "a b c")])
+        lm = analysis.unigram_lm(train)
+        stream = _docs(spark, [(10, "a a a"), (11, "c c c")])
+        out = {
+            r["doc_id"]: r["bits_per_token"]
+            for r in analysis.lm_perplexity(stream, lm=lm).collect()
+        }
+        assert out[10] < out[11]  # 'a' is the most common train token
