@@ -1113,3 +1113,46 @@ class TestLmPerplexity:
             for r in analysis.lm_perplexity(stream, lm=lm).collect()
         }
         assert out[10] < out[11]  # 'a' is the most common train token
+
+    def test_differential_vs_plain_python(self, spark):
+        """Seeded random small-vocab corpora vs an exact plain-python
+        reference (dict of gram -> doc set, per-doc covered-position
+        union).  Small vocab forces organic cross-doc collisions."""
+        import random
+        from collections import defaultdict
+
+        for seed in (0, 1, 2):
+            rng = random.Random(seed)
+            vocab = ["v%d" % i for i in range(6)]
+            rows = [
+                (d, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(5, 15))))
+                for d in range(12)
+            ]
+            k = 3
+            grams = defaultdict(set)
+            toks = {d: s.split(" ") for d, s in rows}
+            for d, ts in toks.items():
+                for j in range(len(ts) - k + 1):
+                    grams["_".join(ts[j:j + k])].add(d)
+            want = {}
+            for d, ts in toks.items():
+                covered = set()
+                for j in range(len(ts) - k + 1):
+                    if len(grams["_".join(ts[j:j + k])]) >= 2:
+                        covered.update(range(j, j + k))
+                want[d] = (
+                    len(ts),
+                    len(covered),
+                    " ".join(t for i, t in enumerate(ts)
+                             if i not in covered),
+                )
+            got = {
+                r["doc_id"]: (
+                    r["n_tokens"], r["dup_tokens"], r["clean_text"]
+                )
+                for r in dedup.substring_dedup(
+                    _docs(spark, rows), k=k
+                ).collect()
+            }
+            assert got == want, f"seed {seed}"
