@@ -2952,6 +2952,82 @@ def td_corpus_to_shards(spark, sf_dir):
     )
 
 
+def _prep_scrub_score_oracle() -> str:
+    """corpus-prep CTE chain -> substring-scrub CTEs (renamed to avoid
+    collisions) -> unigram-LM CTEs over the scrubbed text."""
+    body = (
+        _lsh_pairs_cte(_SURV_SHINGLES_DUCK)
+        + _PREP_CTES
+        + """,
+final AS (
+  SELECT k.doc_id, k.text FROM kept k JOIN qual q USING (doc_id)
+  WHERE q.n_tokens >= 5 AND q.punct_ratio <= 0.2
+),
+d2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM final),
+tx2 AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM d2),
+tk2 AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, w[p] AS tok FROM tx2),
+kx2 AS (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS j FROM d2),
+kg2 AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS pos,
+         CAST('0x' || substr(md5(array_to_string(w[j + 1: j + 5], '_')),
+                             1, 15) AS BIGINT) AS h
+  FROM kx2),
+dh2 AS (SELECT h FROM kg2 GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+cx2 AS (SELECT kg2.doc_id, unnest(range(kg2.pos, kg2.pos + 5)) AS cp
+        FROM kg2 JOIN dh2 USING (h)),
+cov2 AS (SELECT DISTINCT doc_id, CAST(cp AS BIGINT) AS cpos FROM cx2),
+f2 AS (
+  SELECT tk2.doc_id, tk2.pos, tk2.tok, cov2.cpos IS NOT NULL AS is_dup
+  FROM tk2 LEFT JOIN cov2
+    ON tk2.doc_id = cov2.doc_id AND tk2.pos = cov2.cpos),
+scrub AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_tokens,
+         COALESCE(string_agg(CASE WHEN NOT is_dup THEN tok END,
+                             ' ' ORDER BY pos), '') AS clean_text
+  FROM f2 GROUP BY doc_id),
+t3 AS (
+  SELECT doc_id, unnest(string_split(clean_text, ' ')) AS tok FROM scrub),
+c3 AS (SELECT tok, COUNT(*) AS c FROM t3 GROUP BY tok),
+s3 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+              CAST(COUNT(*) AS BIGINT) AS v_size FROM c3),
+lm3 AS (
+  SELECT tok,
+         CAST(round(log2((c + 1.0) / (n_total + v_size)) * 1000000)
+              AS BIGINT) AS lp
+  FROM c3, s3),
+score AS (
+  SELECT t3.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(-CAST(SUM(lp) AS BIGINT) / COUNT(*) / 1000000.0, 4)
+             AS bits_per_token
+  FROM t3 JOIN lm3 USING (tok)
+  GROUP BY t3.doc_id)
+SELECT score.doc_id, score.n_tokens, scrub.dup_tokens,
+       score.bits_per_token
+FROM score JOIN scrub USING (doc_id)"""
+    )
+    return body.replace("WITH surv AS", "WITH RECURSIVE surv AS", 1)
+
+
+@q("td_prep_scrub_score", _prep_scrub_score_oracle())
+def td_prep_scrub_score(spark, sf_dir):
+    """The document-level pretraining prep chain end-to-end:
+    corpus_prep (exact dedup -> near-dup cluster reps -> quality gate)
+    -> substring_dedup (cross-document copied 5-gram spans scrubbed
+    from the survivors) -> lm_perplexity (bits-per-token under a
+    unigram LM trained on the scrubbed corpus itself).  Composition of
+    already-audited stages; exercises how the span scrub changes the
+    LM's training distribution in the same query."""
+    from .textops.prep import prep_scrub_score
+
+    return prep_scrub_score(
+        _docs_table(spark, sf_dir),
+        banded=_banded_table(spark, sf_dir),
+    )
+
+
 # Pathological-bucket stress: the base corpus plus 300 byte-identical
 # copies of its first document — every band funnels them into ONE
 # bucket, which the chunk cap must keep sub-quadratic.

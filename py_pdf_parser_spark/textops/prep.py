@@ -60,3 +60,44 @@ def corpus_prep(
         )
         .select("doc_id", "n_tokens", "n_chars")
     )
+
+
+def prep_scrub_score(
+    docs: DataFrame,
+    k: int = 5,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.2,
+    wide: Optional[DataFrame] = None,
+    banded: Optional[DataFrame] = None,
+) -> DataFrame:
+    """corpus_prep -> exact substring-span scrub -> unigram-LM scoring:
+    the document-level prep chain a pretraining corpus actually runs
+    (dedup + quality gate, then remove cross-document copied REGIONS
+    from the survivors, then score what's left against a model trained
+    on the scrubbed corpus itself).
+
+    -> (doc_id, n_tokens, dup_tokens, bits_per_token) for each kept
+    document: n_tokens counts the SCRUBBED text, dup_tokens what the
+    span scrub removed, bits_per_token the LM quality signal a
+    downstream band filter consumes.
+
+    Composition of already-audited stages — corpus_prep's two
+    aggregations + CC rounds, substring_dedup's skew-proof gram
+    aggregate, lm_perplexity's broadcast-LM join; the only new piece
+    is the final (tiny) doc_id join of scrub stats onto scores."""
+    kept_ids = corpus_prep(
+        docs, min_tokens, max_punct_ratio, wide=wide, banded=banded
+    ).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id", "leftsemi").select(
+        "doc_id", "text"
+    )
+    scrubbed = dedup.substring_dedup(kept, k=k)
+    clean = scrubbed.select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    scored = analysis.lm_perplexity(clean)
+    return (
+        scrubbed.select("doc_id", "dup_tokens")
+        .join(scored, "doc_id")
+        .select("doc_id", "n_tokens", "dup_tokens", "bits_per_token")
+    )

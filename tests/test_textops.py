@@ -1156,3 +1156,35 @@ class TestLmPerplexity:
                 ).collect()
             }
             assert got == want, f"seed {seed}"
+
+
+class TestPrepScrubScore:
+    def test_composition_semantics(self, spark):
+        """Exact dup removed by prep; a cross-doc shared span scrubbed
+        from the survivors; every kept doc gets an LM score over its
+        SCRUBBED token count."""
+        from py_pdf_parser_spark.textops.prep import prep_scrub_score
+
+        span = "alpha beta gamma delta epsilon"
+        # long distinct tails keep shingle-Jaccard ~0.06 so the pair is
+        # below LSH near-dup banding; only the SPAN scrub touches them
+        keep_a = " ".join(f"a{i}" for i in range(20)) + " " + span
+        keep_b = span + " " + " ".join(f"b{i}" for i in range(20))
+        rows = [
+            (1, keep_a),
+            (2, keep_a),          # exact dup of 1 — dropped by prep
+            (3, keep_b),
+            (4, "x y"),           # fails the min_tokens=5 gate
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in prep_scrub_score(_docs(spark, rows)).collect()
+        }
+        assert set(out) == {1, 3}
+        # the shared 5-gram span is scrubbed from both survivors
+        assert out[1]["dup_tokens"] == 5
+        assert out[3]["dup_tokens"] == 5
+        # n_tokens counts the scrubbed text
+        assert out[1]["n_tokens"] == len(keep_a.split()) - 5
+        assert out[3]["n_tokens"] == len(keep_b.split()) - 5
+        assert out[1]["bits_per_token"] > 0
