@@ -2293,7 +2293,9 @@ WITH e0 AS (
 SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
 )
 def emb_lsh_topk(spark, sf_dir):
-    return similarity.lsh_topk(_emb_table(spark, sf_dir))
+    return similarity.lsh_topk(
+        _emb_table(spark, sf_dir), hashed=_emb_hashed_table(spark, sf_dir)
+    )
 
 
 def _lsh_multiprobe_oracle() -> str:
@@ -2325,7 +2327,10 @@ def emb_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH ANN: probe the query's bucket plus all 8
     Hamming-1 neighbor buckets (borderline hyperplane flips) — most of
     single-probe's recall loss back for 9 small bucket probes."""
-    return similarity.lsh_topk(_emb_table(spark, sf_dir), multi_probe=True)
+    return similarity.lsh_topk(
+        _emb_table(spark, sf_dir), multi_probe=True,
+        hashed=_emb_hashed_table(spark, sf_dir),
+    )
 
 
 def _kmeans_oracle() -> str:
@@ -2407,6 +2412,24 @@ SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
     )
 
 
+def _emb_hashed_table(spark, sf_dir):
+    """LSH signature table (vec_id, embedding, bucket, _norm), persisted
+    per (application, corpus) — the materialized table a deployment
+    hashes once and every LSH consumer shares.  The sketch + norm are
+    interpreted higher-order expressions (the costliest per-row work in
+    the emb_* family) and emb_dup_pairs alone scans the projection 3x
+    (bucket counts + both self-join sides); without sharing, each scan
+    re-evaluated the sketch over the corpus — the r4 emb_dup_pairs
+    watch-item regression."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__emb_hashed__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = similarity.hashed_embeddings(_emb_table(spark, sf_dir)).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
 def _kmeans_cents_table(spark, sf_dir):
     """Trained k-means codebook, persisted per (application, corpus) —
     the materialized codebook a deployment trains once and every IVF
@@ -2471,7 +2494,8 @@ SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9""",
 )
 def emb_dup_pairs(spark, sf_dir):
     return similarity.embedding_dup_pairs(
-        _emb_table(spark, sf_dir), threshold=0.9
+        _emb_table(spark, sf_dir), threshold=0.9,
+        hashed=_emb_hashed_table(spark, sf_dir),
     )
 
 

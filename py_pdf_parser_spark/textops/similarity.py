@@ -89,6 +89,25 @@ def lsh_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def hashed_embeddings(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """The signature table: (vec_id, embedding, bucket, _norm).
+
+    The sketch + norm are interpreted higher-order expressions — the
+    most expensive per-row work in this module — and every LSH consumer
+    (``lsh_topk`` both probe modes, ``embedding_dup_pairs``' counts AND
+    both join sides) starts from exactly this projection.  A deployment
+    materializes it ONCE per corpus as a bucketed table and shares it;
+    callers here pass it via the ``hashed=`` parameter (the analogue of
+    dedup's shared shingle-rows table).  Without sharing, a self-join
+    consumer recomputes the sketch once per plan branch — 3x for
+    ``embedding_dup_pairs`` (measured: the r4 md5-chunk cap made that
+    visible as the emb_dup_pairs watch item).
+    """
+    return with_norm(lsh_buckets(emb, vec_col), vec_col)
+
+
 N_IVF_CELLS = 16
 
 
@@ -283,7 +302,7 @@ aggregate(
 
 def lsh_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5,
-    multi_probe: bool = False,
+    multi_probe: bool = False, hashed: DataFrame = None,
 ) -> DataFrame:
     """Approximate top-k: exact rerank within the query's LSH bucket.
 
@@ -294,8 +313,12 @@ def lsh_topk(
     probes per query instead of 1.  The corpus is still hashed once and
     never shuffled; each corpus vector lives in exactly one bucket, so
     probes never duplicate candidates.
+
+    ``hashed``: a precomputed/shared ``hashed_embeddings(emb)`` table;
+    when given, ``emb`` is ignored and the sketch is not recomputed.
     """
-    hashed = with_norm(lsh_buckets(emb))
+    if hashed is None:
+        hashed = hashed_embeddings(emb)
     corpus = hashed.select(
         "vec_id", "embedding", "bucket", F.col("_norm").alias("n_c")
     )
@@ -425,7 +448,8 @@ def semantic_dedup(
 
 
 def embedding_dup_pairs(
-    emb: DataFrame, threshold: float = 0.95, max_bucket: int = 256
+    emb: DataFrame, threshold: float = 0.95, max_bucket: int = 256,
+    hashed: DataFrame = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), LSH-bucketed.
 
@@ -441,27 +465,32 @@ def embedding_dup_pairs(
     embedding arrays (measured 2.6x the query).  The md5 chunk is
     deterministic and SQL-reproducible; buckets at or under the cap get
     ceil(n/cap)=1 chunk, i.e. are untouched.
+
+    ``hashed``: a precomputed/shared ``hashed_embeddings(emb)`` table.
+    This query's plan scans the signature projection THREE times
+    (counts + both join sides); without a shared table each scan
+    re-evaluates the interpreted sketch over the corpus.
     """
-    counts = lsh_buckets(emb.select("vec_id", "embedding")).groupBy(
-        "bucket"
-    ).agg(F.count("*").alias("_n"))
+    if hashed is None:
+        hashed = hashed_embeddings(emb)
+    counts = hashed.groupBy("bucket").agg(F.count("*").alias("_n"))
     chunk = F.expr(
         "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) "
         "as bigint)"
     ) % F.ceil(F.col("_n") / F.lit(max_bucket))
-    hashed = (
-        with_norm(lsh_buckets(emb))
+    chunked = (
+        hashed
         .join(F.broadcast(counts), "bucket")
         .withColumn("chunk", chunk)
         .drop("_n")
     )
-    a = hashed.select(
+    a = chunked.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("_norm").alias("n_a"),
         "bucket", "chunk",
     )
-    b = hashed.select(
+    b = chunked.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("_norm").alias("n_b"),
