@@ -3766,12 +3766,15 @@ _DRIVER_ROW_ROUND.update(dict.fromkeys([
 ], 4))
 
 # Code paths changed THIS round after their last driver row: force a
-# fresh row even though a green (now-stale) one exists.  r5: nothing —
-# the shard-packing oracle-cast fix and the new composed
-# td_corpus_to_shards are all effective round 0 already (no green row
-# ever / new), so the window leads with them, then the 13 r2-era rows,
-# then the remaining r3-era rows (r4 verdict task #4).
-_RETOUCHED: set = set()
+# fresh row even though a green (now-stale) one exists.  r5: the three
+# LSH-signature consumers now read the shared persisted
+# _emb_hashed_table (same values, different plan) — their last rows
+# are r3-era and emb_dup_pairs sat at position 50, one past the
+# window edge.  The shard-packing oracle-cast fix and the new composed
+# td_corpus_to_shards are effective round 0 already (no green row ever
+# / new), so the window leads with them + these, then the 13 r2-era
+# rows, then the stalest r3-era rows (r4 verdict task #4).
+_RETOUCHED: set = {"emb_dup_pairs", "emb_lsh_topk", "emb_lsh_multiprobe"}
 
 
 def _reorder_registry() -> None:
