@@ -1698,6 +1698,57 @@ def td_lm_perplexity(spark, sf_dir):
     return analysis.lm_perplexity(_docs_table(spark, sf_dir))
 
 
+@q(
+    "td_vocab_topk",
+    """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok),
+r AS (SELECT tok, c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rank
+      FROM c)
+SELECT CAST(rank AS BIGINT) AS rank, tok, c FROM r WHERE rank <= 100""",
+)
+def td_vocab_topk(spark, sf_dir):
+    """Vocabulary head (tokenizer-training count table): top-100 corpus
+    tokens.  Spark plans the limit as TakeOrderedAndProject — per-
+    partition local top-k, driver merge of P·k rows, no global sort;
+    the oracle's single window over the full vocab is the semantic
+    spec, not the scale shape."""
+    return analysis.vocab_topk(_docs_table(spark, sf_dir))
+
+
+@q(
+    "td_tfidf_topk",
+    """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM t GROUP BY doc_id, tok),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+idf AS (SELECT tok,
+               CAST(round(log2((n_docs + 1.0) / (df + 1.0)) * 1000000)
+                    AS BIGINT) AS idf_micro
+        FROM dfq, nd),
+s AS (SELECT tf.doc_id, tf.tok, tf.tf,
+             CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro
+      FROM tf JOIN idf USING (tok)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micro DESC, tok) AS rank
+      FROM s)
+SELECT doc_id, tok, tf, score_micro, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3""",
+)
+def td_tfidf_topk(spark, sf_dir):
+    """Per-document tf-idf keywords (top-3): salient-term extraction
+    for topic tagging.  idf is fixed-point micro-bits (one log2 per
+    distinct token, unigram_lm's discipline), so score_micro =
+    tf · idf_micro is exact integer arithmetic on both engines; df
+    reuses tf's (doc_id, tok) aggregate — no second corpus pass."""
+    return analysis.tfidf_topk(_docs_table(spark, sf_dir))
+
+
 # Shared CTE for the shard-packing oracles: whitespace token counts +
 # the exclusive running sum in doc_id order.  The Spark side computes
 # the identical cumsum DISTRIBUTED (value-range buckets + tiny prefix

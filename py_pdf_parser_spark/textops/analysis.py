@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 PUNCT_CLASS = "[.,!?;:]"
 
@@ -335,6 +336,87 @@ def unigram_lm(docs: DataFrame) -> DataFrame:
         )
         .cast("long")
         .alias("lp"),
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace
+    tokens -> (rank, tok, c) — the vocabulary-building stage of a
+    tokenizer-training pipeline (the count table BPE/WordPiece trainers
+    start from).
+
+    Scale shape: ONE tok shuffle for the counts (map-side combinable —
+    partial counts per partition shrink the exchange to ~vocab-size),
+    then ``orderBy(...).limit(k)`` which Spark plans as
+    TakeOrderedAndProject: each partition keeps only its local top-k
+    and the driver merges P·k rows — there is NO global sort of the
+    vocabulary.  The final rank window runs over exactly k rows by
+    construction (not a corpus-scale single-partition stage).
+    Deterministic tie-break: count desc, token asc.
+    """
+    top = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "tok", "c"
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` tokens by tf-idf ->
+    (doc_id, tok, tf, score_micro, rank) — the salient-terms stage a
+    corpus pipeline uses for topic tagging / clustering features.
+
+    idf follows ``unigram_lm``'s fixed-point discipline: micro-bit
+    BIGINT ``round(log2((N+1)/(df+1)) * 1e6)`` with ONE float log2 per
+    distinct token; ``score_micro = tf * idf_micro`` is then exact
+    integer arithmetic — partition-order-free and engine-portable.
+    Deterministic tie-break: score desc, token asc.
+
+    Scale shape: tf = one (doc_id, tok) aggregation riding the explode's
+    partitioning; df = one further tok aggregation over the DISTINCT
+    (doc, tok) pairs tf already produced (ReusedExchange, no second
+    corpus pass); the 1-row doc-count total and the vocab-sized idf
+    table broadcast (same top-V cap note as ``unigram_lm`` if the vocab
+    outgrows the threshold); the top-k window partitions by doc_id —
+    corpus-parallel, never global.
+    """
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = df_tbl.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.round(
+            F.log2(
+                (F.col("n_docs") + F.lit(1)).cast("double")
+                / (F.col("df") + F.lit(1)).cast("double")
+            )
+            * F.lit(LM_MICRO)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = tf.join(F.broadcast(idf), "tok").withColumn(
+        "score_micro", (F.col("tf") * F.col("idf_micro")).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "tok", "tf", "score_micro", "rank")
     )
 
 

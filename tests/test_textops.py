@@ -1188,3 +1188,89 @@ class TestPrepScrubScore:
         assert out[1]["n_tokens"] == len(keep_a.split()) - 5
         assert out[3]["n_tokens"] == len(keep_b.split()) - 5
         assert out[1]["bits_per_token"] > 0
+
+
+class TestVocabTfidf:
+    def test_vocab_topk_matches_counter(self, spark):
+        """rank/count table == Counter over the whole corpus with the
+        (count desc, token asc) tie-break, truncated at k."""
+        import random
+        from collections import Counter
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 30))))
+            for d in range(50)
+        ]
+        c = Counter(t for _, s in rows for t in s.split(" "))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = [
+            (r["tok"], r["c"])
+            for r in analysis.vocab_topk(_docs(spark, rows), k=5)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want
+
+    def test_vocab_topk_rank_is_dense_from_one(self, spark):
+        out = analysis.vocab_topk(
+            _docs(spark, [(1, "a a b"), (2, "b c")]), k=10
+        ).orderBy("rank").collect()
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        # ties (a=2, b=2) break token-ascending
+        assert [r["tok"] for r in out] == ["a", "b", "c"]
+
+    def test_tfidf_topk_matches_plain_python(self, spark):
+        """score_micro == tf * round(log2((N+1)/(df+1)) * 1e6) exactly
+        (integer fixed-point on both sides); per-doc top-k with the
+        (score desc, token asc) tie-break."""
+        import math
+        import random
+        from collections import Counter
+
+        rng = random.Random(11)
+        vocab = [f"v{i}" for i in range(8)]
+        rows = [
+            (d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(4, 25))))
+            for d in range(30)
+        ]
+        toks = {d: s.split(" ") for d, s in rows}
+        n_docs = len(rows)
+        df = Counter(t for ts in toks.values() for t in set(ts))
+        idf = {
+            t: round(math.log2((n_docs + 1) / (k + 1)) * 1e6)
+            for t, k in df.items()
+        }
+        want = {}
+        for d, ts in toks.items():
+            tf = Counter(ts)
+            scored = sorted(
+                ((t, tf[t], tf[t] * idf[t]) for t in tf),
+                key=lambda x: (-x[2], x[0]),
+            )[:3]
+            want[d] = [
+                (t, f, s, i + 1) for i, (t, f, s) in enumerate(scored)
+            ]
+        got = {}
+        for r in analysis.tfidf_topk(_docs(spark, rows), k=3).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["tok"], r["tf"], r["score_micro"], r["rank"])
+            )
+        for d in got:
+            got[d].sort(key=lambda x: x[3])
+        assert got == want
+
+    def test_tfidf_rare_term_beats_common(self, spark):
+        """A token unique to one doc outranks a token present in every
+        doc, regardless of raw tf."""
+        rows = [
+            (1, "common common common rareterm"),
+            (2, "common filler2"),
+            (3, "common filler3"),
+        ]
+        out = analysis.tfidf_topk(_docs(spark, rows), k=1).collect()
+        top = {r["doc_id"]: r["tok"] for r in out}
+        assert top[1] == "rareterm"
