@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "td_decontaminate",
     "td_substring_dedup",
     "td_lm_perplexity",
+    "td_vocab_topk",
+    "td_tfidf_topk",
     "html_line_dedup",
 ]
 
