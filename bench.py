@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "td_lm_perplexity",
     "td_vocab_topk",
     "td_tfidf_topk",
+    "td_bpe_merge_counts",
     "html_line_dedup",
 ]
 

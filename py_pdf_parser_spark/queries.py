@@ -1749,6 +1749,36 @@ def td_tfidf_topk(spark, sf_dir):
     return analysis.tfidf_topk(_docs_table(spark, sf_dir))
 
 
+@q(
+    "td_bpe_merge_counts",
+    """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM w
+       GROUP BY word HAVING length(word) >= 2),
+ix AS (SELECT word, wcount,
+              unnest(range(1, length(word))) AS i
+       FROM wc),
+p AS (SELECT substring(word, CAST(i AS INTEGER), 1) AS sym_a,
+             substring(word, CAST(i AS INTEGER) + 1, 1) AS sym_b, wcount
+      FROM ix),
+c AS (SELECT sym_a, sym_b, CAST(SUM(wcount) AS BIGINT) AS pair_count
+      FROM p GROUP BY sym_a, sym_b),
+r AS (SELECT sym_a, sym_b, pair_count,
+             row_number() OVER (ORDER BY pair_count DESC, sym_a, sym_b)
+               AS rank
+      FROM c)
+SELECT sym_a, sym_b, pair_count, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 50""",
+)
+def td_bpe_merge_counts(spark, sf_dir):
+    """First BPE-trainer iteration (Sennrich et al. 2016): top-50
+    corpus-weighted adjacent-character-pair merge candidates.  The
+    corpus is touched once (word counts); the per-symbol explode runs
+    over the distinct-word table only — the real BPE trainer's scale
+    trick.  Top-k plans as TakeOrderedAndProject."""
+    return analysis.bpe_merge_counts(_docs_table(spark, sf_dir))
+
+
 # Shared CTE for the shard-packing oracles: whitespace token counts +
 # the exclusive running sum in doc_id order.  The Spark side computes
 # the identical cumsum DISTRIBUTED (value-range buckets + tiny prefix

@@ -420,6 +420,60 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bpe_merge_counts(docs: DataFrame, k: int = 50) -> DataFrame:
+    """First BPE-trainer iteration (Sennrich et al. 2016, public):
+    corpus-weighted adjacent-character-pair counts over the word
+    frequency table -> top-``k`` merge candidates
+    (sym_a, sym_b, pair_count, rank).
+
+    Scale shape — the real BPE trainer's trick, kept intact: the
+    CORPUS is touched exactly once (whitespace word counts, map-side
+    combinable, output ~vocab-sized); pair generation, weighting and
+    ranking then run over the DISTINCT-WORD table only, so at 10^12
+    docs the expensive per-symbol explode covers millions of words,
+    not trillions of tokens.  A pair occurring twice inside one word
+    counts twice per occurrence of that word (``aaa`` -> 2x ``(a,a)``
+    per instance), matching the reference algorithm.  Words shorter
+    than 2 chars produce no pairs and are filtered before the explode
+    (``sequence(1, len-1)`` would descend for len < 2).  The top-k
+    plans as TakeOrderedAndProject (per-partition local top-k, P*k
+    driver merge); the rank window covers only the k survivors.
+    Deterministic tie-break: count desc, sym_a asc, sym_b asc.
+    """
+    wc = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = wc.select(
+        "word",
+        "wcount",
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - F.lit(1))
+        ).alias("i"),
+    ).select(
+        F.expr("substring(word, i, 1)").alias("sym_a"),
+        F.expr("substring(word, i + 1, 1)").alias("sym_b"),
+        "wcount",
+    )
+    top = (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(F.sum("wcount").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b"))
+        .limit(k)
+    )
+    w = Window.orderBy(
+        F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b")
+    )
+    return top.select(
+        "sym_a",
+        "sym_b",
+        "pair_count",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def lm_perplexity(docs: DataFrame, lm: DataFrame = None) -> DataFrame:
     """CCNet-style language-model quality score (Wenzek et al. 2020,
     public): per-document bits-per-token under a unigram LM — the cheap

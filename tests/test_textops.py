@@ -1274,3 +1274,56 @@ class TestVocabTfidf:
         out = analysis.tfidf_topk(_docs(spark, rows), k=1).collect()
         top = {r["doc_id"]: r["tok"] for r in out}
         assert top[1] == "rareterm"
+
+
+class TestBpeMergeCounts:
+    def test_matches_plain_python_trainer_count(self, spark):
+        """Pair table == the reference BPE first-iteration count over
+        the word-frequency table: per-word adjacent char pairs weighted
+        by word count, repeats inside a word counted per occurrence."""
+        import random
+        from collections import Counter
+
+        rng = random.Random(13)
+        alphabet = "abcde"
+        words = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(1, 7)))
+                 for _ in range(30)]
+        rows = [
+            (d, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(2, 12))))
+            for d in range(40)
+        ]
+        wcnt = Counter(
+            w for _, s in rows for w in s.split(" ") if len(w) >= 2
+        )
+        pc = Counter()
+        for w, n in wcnt.items():
+            for i in range(len(w) - 1):
+                pc[(w[i], w[i + 1])] += n
+        want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        want = [(a, b, n, i + 1)
+                for i, ((a, b), n) in enumerate(want)]
+        got = [
+            (r["sym_a"], r["sym_b"], r["pair_count"], r["rank"])
+            for r in analysis.bpe_merge_counts(_docs(spark, rows), k=10)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want
+
+    def test_repeat_pair_inside_word_counts_per_occurrence(self, spark):
+        """'aaa' contributes TWO (a,a) pairs per word instance — the
+        reference algorithm's counting, not distinct-pair-per-word."""
+        out = analysis.bpe_merge_counts(
+            _docs(spark, [(1, "aaa aaa x")]), k=5
+        ).collect()
+        assert [(r["sym_a"], r["sym_b"], r["pair_count"], r["rank"])
+                for r in out] == [("a", "a", 4, 1)]
+
+    def test_short_words_produce_no_pairs(self, spark):
+        out = analysis.bpe_merge_counts(
+            _docs(spark, [(1, "a b c ab")]), k=5
+        ).collect()
+        assert [(r["sym_a"], r["sym_b"], r["pair_count"])
+                for r in out] == [("a", "b", 1)]
