@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "td_vocab_topk",
     "td_tfidf_topk",
     "td_bpe_merge_counts",
+    "td_length_quantiles",
+    "td_ppl_buckets",
     "html_line_dedup",
 ]
 

@@ -270,6 +270,22 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _ppl_scores_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm_perplexity output (doc_id, n_tokens, bits_per_token),
+    persisted per (application, corpus) — the materialized score table
+    a deployment writes once and every quality gate reads.  Sharing it
+    matters doubly for td_ppl_buckets: the score subtree (corpus token
+    explode + LM train + per-doc aggregate) otherwise evaluates on
+    BOTH plan branches (per-doc labels + threshold CDF)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__ppl_scores__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = analysis.lm_perplexity(_docs_table(spark, sf_dir)).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
 def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Event-time epoch math (events._epoch) is pure NTZ field
     # extraction — session-timezone-independent by construction, so no
@@ -1695,7 +1711,90 @@ def td_lm_perplexity(spark, sf_dir):
     itself.  Fixed-point micro-bit log-probs make the per-doc sum
     exact-integer (partition-order-free), so Spark and DuckDB agree
     bit-for-bit; the single float op is one log2 per distinct token."""
-    return analysis.lm_perplexity(_docs_table(spark, sf_dir))
+    return _ppl_scores_table(spark, sf_dir)
+
+
+@q(
+    "td_length_quantiles",
+    """
+WITH l AS (
+  SELECT source, length(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+c AS (SELECT source, n_tokens, COUNT(*) AS cnt
+      FROM l GROUP BY source, n_tokens),
+cm AS (SELECT source, n_tokens,
+              SUM(cnt) OVER (PARTITION BY source
+                             ORDER BY n_tokens) AS cum,
+              SUM(cnt) OVER (PARTITION BY source) AS total
+       FROM c),
+qs AS (SELECT * FROM (VALUES (25),(50),(75),(95),(99)) AS t(q))
+SELECT source, CAST(q AS BIGINT) AS q,
+       CAST(MIN(total) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS ntok_q
+FROM cm, qs WHERE cum >= (q * total + 99) // 100
+GROUP BY source, q""",
+)
+def td_length_quantiles(spark, sf_dir):
+    """Exact per-source token-length quantiles (p25/p50/p75/p95/p99)
+    via the inverse-CDF over the bounded (source, n_tokens) value
+    table — exact at any corpus size with no global sort and no
+    engine-specific approx_percentile; ceil is pure integer
+    arithmetic ((q*n + 99) div 100)."""
+    return analysis.length_quantiles(_docs_table(spark, sf_dir))
+
+
+@q(
+    "td_ppl_buckets",
+    """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS v_size FROM c),
+lm AS (
+  SELECT tok,
+         CAST(round(log2((c + 1.0) / (n_total + v_size)) * 1000000)
+              AS BIGINT) AS lp
+  FROM c, s),
+sc AS (SELECT t.doc_id,
+              round(-CAST(SUM(lp) AS BIGINT) / COUNT(*) / 1000000.0, 4)
+                  AS bits_per_token
+       FROM t JOIN lm USING (tok) GROUP BY t.doc_id),
+sl AS (SELECT d.doc_id, d.lang, sc.bits_per_token
+       FROM documents d JOIN sc USING (doc_id)),
+cnt AS (SELECT lang, bits_per_token, COUNT(*) AS cnt
+        FROM sl GROUP BY lang, bits_per_token),
+cm AS (SELECT lang, bits_per_token,
+              SUM(cnt) OVER (PARTITION BY lang
+                             ORDER BY bits_per_token) AS cum,
+              SUM(cnt) OVER (PARTITION BY lang) AS total
+       FROM cnt),
+ks AS (SELECT * FROM (VALUES (1),(2)) AS kt(k)),
+th AS (SELECT lang, k, MIN(bits_per_token) AS t
+       FROM cm, ks WHERE cum >= (k * total + 2) // 3
+       GROUP BY lang, k),
+tp AS (SELECT lang,
+              MIN(CASE WHEN k = 1 THEN t END) AS t1,
+              MIN(CASE WHEN k = 2 THEN t END) AS t2
+       FROM th GROUP BY lang)
+SELECT sl.doc_id, sl.lang, sl.bits_per_token,
+       CASE WHEN sl.bits_per_token <= tp.t1 THEN 'head'
+            WHEN sl.bits_per_token <= tp.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sl JOIN tp USING (lang)""",
+)
+def td_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles per language: the
+    keep/downsample/drop quality gate.  Thresholds are inverse-CDF
+    terciles over the 4dp bits-per-token score (exact-integer
+    micro-bit sums make the score engine-identical; the rounding
+    bounds the distinct-score table, so threshold computation is
+    corpus-size-independent).  Reads the shared persisted score table
+    so the LM subtree computes once, not once per plan branch."""
+    return analysis.perplexity_buckets(
+        _docs_table(spark, sf_dir),
+        scores=_ppl_scores_table(spark, sf_dir),
+    )
 
 
 @q(

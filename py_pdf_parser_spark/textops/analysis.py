@@ -503,3 +503,124 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame = None) -> DataFrame:
             ).alias("bits_per_token"),
         )
     )
+
+
+def length_quantiles(
+    docs: DataFrame, qs: tuple = (25, 50, 75, 95, 99)
+) -> DataFrame:
+    """Exact per-source token-length quantiles -> one row per
+    (source, q): (source, q, n_docs, ntok_q) where ``ntok_q`` is the
+    smallest token count v with |{docs: n_tokens <= v}| >= ceil(q% * n)
+    — the inverse-CDF (Type-1) quantile, the corpus-report statistic
+    every curation pipeline publishes (median/p95/p99 document length).
+
+    Scale shape — exact quantiles WITHOUT a global sort and WITHOUT
+    approx_percentile: token counts have bounded cardinality (at most
+    the longest document's length, ~10^5 distinct values, independent
+    of corpus row count), so the corpus is touched once by a map-side-
+    combinable groupBy(source, n_tokens) and everything downstream
+    (per-source cumulative window, quantile lookup) runs over that
+    tiny value table.  ceil is exact-integer ((q*n + 99) div 100) —
+    no float at any corpus size.  Compare: a sort-based exact
+    quantile shuffles the corpus; approx_percentile is inexact and
+    engine-specific (un-oracle-able).
+    """
+    counts = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .groupBy("source", "n_tokens")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = counts.select(
+        "source",
+        "n_tokens",
+        F.sum("cnt")
+        .over(Window.partitionBy("source").orderBy("n_tokens"))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("total"),
+    )
+    qdf = docs.sparkSession.createDataFrame(
+        [(int(q),) for q in qs], "q long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= F.expr("(q * total + 99) div 100"))
+        .groupBy("source", "q")
+        .agg(
+            F.min("total").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("ntok_q"),
+        )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame, lm: DataFrame = None, scores: DataFrame = None
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020, public): per language, documents are split into perplexity
+    terciles — 'head' (lowest bits-per-token, most LM-like), 'middle',
+    'tail' — the standard keep/downsample/drop gate for web corpora.
+    -> (doc_id, lang, bits_per_token, bucket).
+
+    Tercile thresholds use the same inverse-CDF rule as
+    ``length_quantiles``: t_k = smallest score s with
+    |{docs: score <= s}| >= ceil(k*n/3), k in {1,2}; bucket = head if
+    score <= t1, middle if <= t2, else tail (boundary ties share the
+    lower bucket on both engines — deterministic, no rank shuffling).
+
+    Scale shape: scores come from ``lm_perplexity`` (exact integer
+    micro-bit sums — partition-order-independent, so the 4dp score is
+    bit-identical on any engine).  That 4dp rounding also BOUNDS the
+    distinct-score table (~2x10^5 values per language regardless of
+    corpus size), so the threshold computation — groupBy(lang, score)
+    + per-lang windows — is corpus-size-independent, and the tiny
+    (lang, t1, t2) table broadcasts back onto the per-doc scores.
+    Corpus-sized exchanges: the token aggregate inside lm_perplexity
+    and one slim (doc_id, lang) projection join — no global sort.
+
+    ``scores`` injects a pre-computed (persisted) ``lm_perplexity``
+    output table.  Without it the score subtree is evaluated on BOTH
+    plan branches (per-doc labels + threshold CDF) — Catalyst cannot
+    common subtrees that canonicalize under different parents (the
+    same reason the registry persists _emb_hashed_table /
+    _shingle_rows_table); a deployment materializes the score table
+    once and buckets from it.
+    """
+    if scores is None:
+        scores = lm_perplexity(docs, lm)
+    scores = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    cum = (
+        scores.groupBy("lang", "bits_per_token")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "lang",
+            "bits_per_token",
+            F.sum("cnt")
+            .over(Window.partitionBy("lang").orderBy("bits_per_token"))
+            .alias("cum"),
+            F.sum("cnt").over(Window.partitionBy("lang")).alias("total"),
+        )
+    )
+    ks = docs.sparkSession.createDataFrame([(1,), (2,)], "k long")
+    thresholds = (
+        cum.crossJoin(F.broadcast(ks))
+        .where(F.col("cum") >= F.expr("(k * total + 2) div 3"))
+        .groupBy("lang", "k")
+        .agg(F.min("bits_per_token").alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("k") == 1, F.col("t"))).alias("t1"),
+            F.min(F.when(F.col("k") == 2, F.col("t"))).alias("t2"),
+        )
+    )
+    return scores.join(F.broadcast(thresholds), "lang").select(
+        "doc_id",
+        "lang",
+        "bits_per_token",
+        F.when(F.col("bits_per_token") <= F.col("t1"), "head")
+        .when(F.col("bits_per_token") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

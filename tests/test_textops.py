@@ -1327,3 +1327,129 @@ class TestBpeMergeCounts:
         ).collect()
         assert [(r["sym_a"], r["sym_b"], r["pair_count"])
                 for r in out] == [("a", "b", 1)]
+
+
+class TestLengthQuantiles:
+    def test_matches_inverse_cdf_spec(self, spark):
+        """(source, q) rows == the plain-python inverse-CDF quantile:
+        smallest length v with |{docs: len <= v}| >= ceil(q% * n)."""
+        import math
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (d, " ".join("w" for _ in range(rng.randint(1, 40))),
+             rng.choice(["web", "books", "code"]))
+            for d in range(200)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        by_src = {}
+        for _, text, src in rows:
+            by_src.setdefault(src, []).append(len(text.split(" ")))
+        want = set()
+        for src, lens in by_src.items():
+            lens.sort()
+            n = len(lens)
+            for q in (25, 50, 75, 95, 99):
+                want.add((src, q, n, lens[math.ceil(q * n / 100) - 1]))
+        got = {
+            (r["source"], r["q"], r["n_docs"], r["ntok_q"])
+            for r in analysis.length_quantiles(docs).collect()
+        }
+        assert got == want
+
+    def test_single_doc_all_quantiles_equal(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c", "s")], "doc_id long, text string, source string"
+        )
+        out = analysis.length_quantiles(docs).collect()
+        assert len(out) == 5
+        assert {(r["n_docs"], r["ntok_q"]) for r in out} == {(1, 3)}
+
+
+class TestPerplexityBuckets:
+    def _corpus(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_matches_tercile_spec_on_real_scores(self, spark):
+        """Buckets == plain-python terciles computed from the engine's
+        OWN lm_perplexity scores (tests the CDF/threshold logic without
+        re-implementing float rounding)."""
+        import math
+        import random
+
+        rng = random.Random(11)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        rows = [
+            (d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 15))),
+             rng.choice(["en", "de"]))
+            for d in range(60)
+        ]
+        docs = self._corpus(spark, rows)
+        scores = {
+            r["doc_id"]: r["bits_per_token"]
+            for r in analysis.lm_perplexity(
+                docs.select("doc_id", "text")
+            ).collect()
+        }
+        lang_of = {d: lang for d, _, lang in rows}
+        by_lang = {}
+        for d, s in scores.items():
+            by_lang.setdefault(lang_of[d], []).append(s)
+        thr = {}
+        for lang, vals in by_lang.items():
+            vals.sort()
+            n = len(vals)
+            thr[lang] = (
+                vals[math.ceil(n / 3) - 1],
+                vals[math.ceil(2 * n / 3) - 1],
+            )
+        def bucket(d):
+            t1, t2 = thr[lang_of[d]]
+            s = scores[d]
+            return "head" if s <= t1 else ("middle" if s <= t2 else "tail")
+        got = {
+            r["doc_id"]: (r["lang"], r["bits_per_token"], r["bucket"])
+            for r in analysis.perplexity_buckets(docs).collect()
+        }
+        assert got == {
+            d: (lang_of[d], scores[d], bucket(d)) for d in scores
+        }
+
+    def test_all_equal_scores_land_in_head(self, spark):
+        """Identical docs -> identical scores -> t1 covers everything;
+        boundary ties share the LOWER bucket by spec."""
+        docs = self._corpus(
+            spark, [(d, "same text here", "en") for d in range(9)]
+        )
+        out = analysis.perplexity_buckets(docs).collect()
+        assert len(out) == 9
+        assert {r["bucket"] for r in out} == {"head"}
+
+    def test_bucket_ordering_is_monotone(self, spark):
+        import random
+
+        rng = random.Random(5)
+        vocab = ["a", "bb", "ccc", "dddd", "rare1", "rare2", "rare3"]
+        docs = self._corpus(
+            spark,
+            [(d, " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(2, 10))), "en")
+             for d in range(30)],
+        )
+        rows = analysis.perplexity_buckets(docs).collect()
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r["bucket"], []).append(
+                r["bits_per_token"]
+            )
+        if "middle" in by_bucket:
+            assert max(by_bucket["head"]) < min(by_bucket["middle"])
+        if "tail" in by_bucket:
+            lower = by_bucket.get("middle") or by_bucket["head"]
+            assert max(lower) < min(by_bucket["tail"])
