@@ -467,3 +467,77 @@ def stream_mixture_sample(
         .outputMode("append")
         .start()
     )
+
+
+def write_quality_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    lm: DataFrame,
+    thresholds: DataFrame,
+    output_dir: str,
+) -> None:
+    """Idempotent micro-batch writer for ``stream_quality_gate``:
+    score the batch under the FIXED pre-trained LM, label against the
+    FIXED thresholds, dynamic-partition-overwrite on batch_id (a
+    replayed batch rewrites only its own partition — the scoring is
+    deterministic, so byte-identical)."""
+    from pyspark.sql import functions as F
+
+    from .textops.analysis import bucket_by_thresholds, lm_perplexity
+
+    scores = lm_perplexity(batch_df.select("doc_id", "text"), lm=lm).join(
+        batch_df.select("doc_id", "lang"), "doc_id"
+    )
+    (
+        bucket_by_thresholds(scores, thresholds)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    input_dir: str,
+    lm: DataFrame,
+    thresholds: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Continuous CCNet-style quality gating at ingest: each arriving
+    document is scored (bits-per-token under a FIXED pre-trained
+    unigram LM) and labelled head/middle/tail against FIXED per-language
+    tercile thresholds — the deployment shape of
+    ``analysis.perplexity_buckets``, where the model and gate are
+    artifacts trained once on a reference corpus
+    (``analysis.unigram_lm`` + ``analysis.perplexity_thresholds``) and
+    every ingest batch is scored against them.
+
+    Both artifacts are static broadcast tables, and the per-doc score
+    aggregate runs per micro-batch under ``foreachBatch`` (a document
+    arrives whole in one file, never split across batches), so results
+    are identical to the batch operator with the same ``lm`` +
+    ``thresholds`` on the same rows (asserted by test).  Exactly-once
+    via batch_id dynamic partition overwrite, same as the other
+    foreachBatch sinks here."""
+    doc_table_schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(doc_table_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_quality_batch(batch_df, batch_id, lm, thresholds, output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

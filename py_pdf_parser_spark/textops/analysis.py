@@ -591,6 +591,15 @@ def perplexity_buckets(
     if scores is None:
         scores = lm_perplexity(docs, lm)
     scores = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    return bucket_by_thresholds(scores, perplexity_thresholds(scores))
+
+
+def perplexity_thresholds(scores: DataFrame) -> DataFrame:
+    """Per-language tercile thresholds (lang, t1, t2) from a
+    (lang, bits_per_token) score table — the trained gate artifact a
+    deployment fits once on a reference corpus and then applies to
+    every ingest batch (see ``streaming.stream_quality_gate``).
+    Runs entirely over the bounded distinct-score table."""
     cum = (
         scores.groupBy("lang", "bits_per_token")
         .agg(F.count("*").alias("cnt"))
@@ -603,8 +612,8 @@ def perplexity_buckets(
             F.sum("cnt").over(Window.partitionBy("lang")).alias("total"),
         )
     )
-    ks = docs.sparkSession.createDataFrame([(1,), (2,)], "k long")
-    thresholds = (
+    ks = scores.sparkSession.createDataFrame([(1,), (2,)], "k long")
+    return (
         cum.crossJoin(F.broadcast(ks))
         .where(F.col("cum") >= F.expr("(k * total + 2) div 3"))
         .groupBy("lang", "k")
@@ -615,6 +624,16 @@ def perplexity_buckets(
             F.min(F.when(F.col("k") == 2, F.col("t"))).alias("t2"),
         )
     )
+
+
+def bucket_by_thresholds(
+    scores: DataFrame, thresholds: DataFrame
+) -> DataFrame:
+    """Label (doc_id, lang, bits_per_token) rows head/middle/tail
+    against a broadcast (lang, t1, t2) thresholds table.  Boundary
+    ties share the lower bucket; a lang absent from the thresholds
+    table drops (inner join) — score a stream only against languages
+    the gate was trained on."""
     return scores.join(F.broadcast(thresholds), "lang").select(
         "doc_id",
         "lang",

@@ -328,3 +328,69 @@ def test_stream_mixture_sample_matches_batch(spark, tmp_path):
     assert got == want
     assert want  # non-degenerate: something was kept
     assert not any(t[1] == "zero" for t in got)
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """Streaming quality gate (fixed pre-trained LM + fixed tercile
+    thresholds) == the batch bucketing with the same artifacts on the
+    same rows, across multiple micro-batches and a replay-safe sink."""
+    import random
+
+    from py_pdf_parser_spark.streaming import stream_quality_gate
+    from py_pdf_parser_spark.textops.analysis import (
+        bucket_by_thresholds,
+        lm_perplexity,
+        perplexity_thresholds,
+        unigram_lm,
+    )
+
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+    def corpus(n, off=0):
+        return [
+            (off + i,
+             " ".join(rng.choice(vocab)
+                      for _ in range(rng.randint(3, 12))),
+             rng.choice(["en", "de"]), "web", 10)
+            for i in range(n)
+        ]
+
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    ref = spark.createDataFrame(corpus(80), schema)
+    # train the gate artifacts once on the reference corpus
+    lm = unigram_lm(ref.select("doc_id", "text")).persist()
+    ref_scores = lm_perplexity(ref.select("doc_id", "text"), lm=lm).join(
+        ref.select("doc_id", "lang"), "doc_id"
+    )
+    thresholds = perplexity_thresholds(ref_scores).persist()
+
+    incoming = spark.createDataFrame(corpus(40, off=1000), schema)
+    in_dir = str(tmp_path / "in")
+    incoming.coalesce(4).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_quality_gate(
+        spark, in_dir, lm, thresholds, out_dir, ckpt,
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_id"], r["lang"], r["bits_per_token"], r["bucket"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_scores = lm_perplexity(
+        incoming.select("doc_id", "text"), lm=lm
+    ).join(incoming.select("doc_id", "lang"), "doc_id")
+    want = {
+        (r["doc_id"], r["lang"], r["bits_per_token"], r["bucket"])
+        for r in bucket_by_thresholds(batch_scores, thresholds).collect()
+    }
+    assert got == want and len(want) == 40
+    assert {b for _, _, _, b in got} <= {"head", "middle", "tail"}
