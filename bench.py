@@ -523,8 +523,8 @@ def _write_baseline_md(
             else []
         ),
         "Shared-VM windows move ALL absolute numbers ±20-40% between "
-        "runs (best recorded window: flagship 0.60 s / 33.1k docs/s at "
-        "r3; loaded windows read 0.78-1.14 s — an A/B of the same two "
+        "runs (best recorded window: flagship 0.48 s / 41.7k docs/s at "
+        "r5; loaded windows read 0.78-1.14 s — an A/B of the same two "
         "commits inside one window shows no code regression, see "
         "PLANS.md).  The Spark-free kernel control moves in lockstep, "
         "so scaling RATIOS and the engine decomposition below are the "
@@ -610,18 +610,18 @@ def _write_baseline_md(
         "**Window record:** the 2-core headline pair's formal run "
         "medians — every run ever recorded, none discarded — are r1 "
         "0.916, r2 0.825, r3 0.885-0.913, r4 0.949, and r5 0.835 / "
-        "0.891 / 0.972 / 0.799 across four runs of identical code "
-        "(the 0.799 window also read a corrupted 1.016 round — VM "
-        "steal on the small side — so window load, not the engine; "
-        "cross-run r5 median 0.863).  The round count was raised "
-        "3→5 after that fourth run to stabilize the median; this "
-        "run's verdict above uses the raised count.  Full-box single "
-        "pairs have recorded 0.80-0.945 in quiet windows "
-        "(`BENCH/bench_r4_run2.json`, `BENCH/exp_fullbox_r3.py`) and "
-        "0.59-0.78 in loaded ones (r5 formal medians: 0.788, 0.657, "
-        "0.757, 0.755 — identical code, pure window load); its median "
-        "reflects that spread, which is why the decomposition against "
-        "the per-round paired hardware control is reported alongside.",
+        "0.891 / 0.972 / 0.799 / 0.899 across five runs of identical "
+        "engine code (the 0.799 window also read a corrupted 1.016 "
+        "round — VM steal on the small side — so window load, not the "
+        "engine).  The round count was raised 3→5 after the fourth "
+        "run to stabilize the median; the fifth run — the first at "
+        "the raised count — landed 5 rounds inside [0.881, 0.928].  "
+        "Full-box formal medians are 0.788, 0.657, 0.757, 0.755, and "
+        "0.876 — the fifth run (quiet window, 5 rounds inside "
+        "[0.866, 0.884]) is the first formal full-box ≥0.8; loaded "
+        "windows read 0.59-0.78 on identical code, which is why the "
+        "decomposition against the per-round paired hardware control "
+        "is reported alongside.",
         "",
         "## Skew (0.1% pathological docs — 1600-page bigdoc, giant-media "
         "bigmedia, superlinear-recipe bigtable — clustered in their own "
