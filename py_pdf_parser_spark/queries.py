@@ -2228,6 +2228,33 @@ def td_pii_scrub(spark, sf_dir):
     return analysis.pii_scrub(_pii_table(spark, sf_dir))
 
 
+BLOCKLIST_PROBE = ["slow", "stale"]  # one in-vocab word, one absent
+
+
+@q(
+    "td_blocklist_filter",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '\b(slow|stale)\b'))
+            AS BIGINT) AS n_bad,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '\b(slow|stale)\b'))
+            AS DOUBLE) / len(string_split(text, ' ')) AS bad_frac,
+       CAST(len(regexp_extract_all(lower(text), '\b(slow|stale)\b'))
+            AS DOUBLE) / len(string_split(text, ' ')) <= 0.02 AS kept
+FROM documents""",
+)
+def td_blocklist_filter(spark, sf_dir):
+    """C4-family blocklist gate (analysis.blocklist_filter): full audit
+    table — count/fraction of blocklisted words per doc + the keep
+    decision at max_frac=0.02.  The probe list mixes a word present in
+    the synthetic vocabulary with one that never occurs, so both the
+    match and no-match branches are exercised."""
+    return analysis.blocklist_filter(
+        _docs_table(spark, sf_dir), BLOCKLIST_PROBE, max_frac=0.02
+    )
+
+
 # -- dedup ---------------------------------------------------------------------------
 
 

@@ -298,6 +298,38 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     )
 
 
+def blocklist_filter(
+    docs: DataFrame, words: list, max_frac: float = 0.02
+) -> DataFrame:
+    """C4-family blocklist gate: per-document blocklisted-word count and
+    keep decision (keep iff n_bad / n_tokens <= ``max_frac``).
+
+    Returns the full audit table (doc_id, n_bad, n_tokens, bad_frac,
+    kept) rather than silently dropping rows — a deployment filters on
+    ``kept`` and keeps the audit next to the corpus (the no-silent-caps
+    rule).  The word list is compiled into ONE alternation regex with
+    ASCII word boundaries, so the whole gate is a narrow, codegen'd,
+    shuffle-free Column pipeline: broadcast-by-literal is the right
+    shape for the few-thousand-word lists real pipelines use (C4's
+    list is ~400 entries).  A million-entry list would switch to the
+    explode + broadcast-semi-join form instead (same shape as
+    ``dedup.decontaminate``).  Case-insensitive via lower();
+    alternation branches are literal words, so Java regex (Spark) and
+    RE2 (DuckDB oracle) match identically."""
+    import re as _re
+
+    pattern = r"\b(" + "|".join(_re.escape(w.lower()) for w in words) + r")\b"
+    n_bad = F.regexp_count(F.lower(F.col("text")), F.lit(pattern))
+    n_tok = F.size(_tokens())
+    return docs.select(
+        "doc_id",
+        n_bad.cast("long").alias("n_bad"),
+        n_tok.cast("long").alias("n_tokens"),
+        (n_bad.cast("double") / n_tok).alias("bad_frac"),
+        (n_bad.cast("double") / n_tok <= F.lit(max_frac)).alias("kept"),
+    )
+
+
 LM_MICRO = 1_000_000  # fixed-point scale for per-token log-probs
 
 

@@ -354,6 +354,37 @@ class TestCorpusPrepFilters:
                 i for i in range(30) if f"src{i % 3}" == src)[:4]
             assert sorted(ids) == expected
 
+    def test_blocklist_filter_counts_and_gate(self, spark):
+        import re
+
+        from py_pdf_parser_spark.textops import analysis
+
+        texts = [
+            "clean text only",                    # 0 bad / 3 -> kept
+            "one BAD word here now yes ok",       # 1/7 <= 0.2 -> kept
+            "bad bad bad",                        # 3/3 -> dropped
+            "badge embedded not a match",         # \b guard: 0 -> kept
+            "ugly at the end bad",                # 2/5 -> dropped
+        ]
+        docs = _docs(spark, list(enumerate(texts)))
+        out = {r["doc_id"]: r for r in analysis.blocklist_filter(
+            docs, ["bad", "ugly"], max_frac=0.2).collect()}
+        pat = re.compile(r"\b(bad|ugly)\b")
+        for i, t in enumerate(texts):
+            expect = len(pat.findall(t.lower()))
+            assert out[i]["n_bad"] == expect, (i, t)
+            assert out[i]["n_tokens"] == len(t.split(" "))
+            assert out[i]["kept"] == (
+                expect / len(t.split(" ")) <= 0.2)
+        assert [out[i]["kept"] for i in range(5)] == [
+            True, True, False, True, False]
+        # regex metacharacters in the list are escaped, not interpreted
+        lit = analysis.blocklist_filter(
+            _docs(spark, [(0, "a.b literal"), (1, "axb nope")]),
+            ["a.b"], max_frac=0.0).collect()
+        by_id = {r["doc_id"]: r["n_bad"] for r in lit}
+        assert by_id == {0: 1, 1: 0}
+
     def test_pii_scrub_detectors_and_overlap(self, spark):
         from py_pdf_parser_spark.textops import analysis
 
