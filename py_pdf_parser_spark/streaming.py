@@ -432,6 +432,43 @@ def stream_pii_scrub(
     )
 
 
+def stream_blocklist_gate(
+    spark: SparkSession,
+    input_dir: str,
+    words: list,
+    max_frac: float = 0.02,
+    query_name: str = "blocklist_gate",
+    max_files_per_trigger: int = 4,
+):
+    """Streaming C4-family blocklist gate at ingest: the stateless
+    per-document analysis.blocklist_filter audit (bad-word count /
+    fraction / keep decision) applied to a file-source stream, so a
+    crawl is gated BEFORE documents land downstream.  The word list
+    compiles into the plan as one literal alternation regex — no state
+    store, no watermark — so results are identical to the batch
+    operator on the same rows (asserted by test) and replayed files
+    decide identically across stream restarts.  Append-mode memory
+    sink under ``query_name``."""
+    from .textops.analysis import blocklist_filter
+
+    doc_table_schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(doc_table_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        blocklist_filter(stream, words, max_frac=max_frac)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_mixture_sample(
     spark: SparkSession,
     input_dir: str,

@@ -291,6 +291,44 @@ def test_stream_pii_scrub_matches_batch(spark, tmp_path):
     assert got == want and len(want) == 4
 
 
+def test_stream_blocklist_gate_matches_batch(spark, tmp_path):
+    """Stateless streaming blocklist gate == the batch operator."""
+    from py_pdf_parser_spark.streaming import stream_blocklist_gate
+    from py_pdf_parser_spark.textops.analysis import blocklist_filter
+
+    rows = [
+        (1, "clean text only here", "en", "s0", 20),
+        (2, "bad bad bad bad words", "en", "s0", 21),
+        (3, "one bad among many many fine words now", "en", "s1", 39),
+        (4, "badge embedded is not a hit", "en", "s1", 27),
+    ]
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    docs = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "in")
+    docs.coalesce(1).write.parquet(in_dir)
+
+    q = stream_blocklist_gate(
+        spark, in_dir, ["bad", "ugly"], max_frac=0.2,
+        query_name="blk_t")
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM blk_t").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        tuple(r)
+        for r in blocklist_filter(docs, ["bad", "ugly"],
+                                  max_frac=0.2).collect()
+    }
+    assert got == want and len(want) == 4
+    kept = {r[0] for r in want if r[4]}
+    assert kept == {1, 3, 4}
+
+
 def test_stream_mixture_sample_matches_batch(spark, tmp_path):
     """Stateless streaming mixture sampling == the batch operator on
     the same rows (fixed buckets + broadcast rates decide identically
