@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "td_length_quantiles",
     "td_ppl_buckets",
     "html_line_dedup",
+    "td_gopher_rules",
+    "td_dsir_weights",
+    "td_corpus_shuffle",
 ]
 
 

@@ -1997,6 +1997,111 @@ def td_shard_stats(spark, sf_dir):
 
 
 @q(
+    "td_corpus_shuffle",
+    """
+WITH k AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 8)
+              AS BIGINT) AS sort_key
+  FROM documents)
+SELECT doc_id, sort_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) - 1 AS BIGINT)
+           AS pos
+FROM k""",
+)
+def td_corpus_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (packing.corpus_shuffle):
+    global 0..n-1 position by md5(doc_id:seed) — reproducible on any
+    cluster size / partitioning.  n_buckets=64 (not the 2^20 scale
+    default) so the sf corpus exercises the multi-bucket rank
+    decomposition; the oracle's single ROW_NUMBER window is the
+    semantic spec, not the scale shape."""
+    return packing.corpus_shuffle(
+        _docs_table(spark, sf_dir), seed="s0", n_buckets=64
+    )
+
+
+@q(
+    "td_gopher_rules",
+    """
+WITH b AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    ROUND(list_sum(list_transform(string_split(text, ' '),
+                                  x -> len(x))) * 1.0
+          / len(string_split(text, ' ')), 6) AS mean_word_len,
+    ROUND((len(text) - len(replace(text, '#', ''))
+           + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+          / len(string_split(text, ' ')), 6) AS symbol_ratio,
+    ROUND(len(list_filter(string_split(text, ' '),
+                          x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+          / len(string_split(text, ' ')), 6) AS alpha_ratio,
+    CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','and','of','to','a','in','is')))
+         AS BIGINT) AS n_stop
+  FROM documents)
+SELECT *,
+       n_words BETWEEN 20 AND 80 AS ok_words,
+       mean_word_len BETWEEN 3.6 AND 4.6 AS ok_word_len,
+       symbol_ratio <= 0.1 AS ok_symbols,
+       alpha_ratio >= 0.8 AS ok_alpha,
+       n_stop >= 2 AS ok_stop,
+       (n_words BETWEEN 20 AND 80) AND (mean_word_len BETWEEN 3.6 AND 4.6)
+         AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2
+           AS keep
+FROM b""",
+)
+def td_gopher_rules(spark, sf_dir):
+    """Gopher-style quality-rule bundle with per-rule audit flags
+    (analysis.gopher_rules).  Bounds tuned to the sf corpus so every
+    count-based rule discriminates (~210/500 keep at sf0.01; the
+    symbol/alpha rules pass all synthetic docs and are
+    differential-tested on planted fixtures instead)."""
+    return analysis.gopher_rules(
+        _docs_table(spark, sf_dir),
+        min_words=20,
+        max_words=80,
+        min_mean_word_len=3.6,
+        max_mean_word_len=4.6,
+    )
+
+
+@q(
+    "td_dsir_weights",
+    f"""
+WITH tk AS (
+  SELECT doc_id,
+         {_H_DUCK.format(s="tok")} % 1024 AS f,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)),
+c AS (SELECT f, COUNT(*) AS c_raw, SUM(is_tgt) AS c_tgt
+      FROM tk GROUP BY f),
+tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+               CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM c),
+m AS (
+  SELECT f,
+         CAST(round(log2((c_tgt + 1.0) / (n_tgt + 1024)) * 1000000)
+              AS BIGINT)
+         - CAST(round(log2((c_raw + 1.0) / (n_raw + 1024)) * 1000000)
+                AS BIGINT) AS lr
+  FROM c, tot)
+SELECT tk.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lr) AS BIGINT) AS dsir_weight
+FROM tk JOIN m USING (f)
+GROUP BY tk.doc_id""",
+)
+def td_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): per-doc
+    log2(p_target/p_raw) under hashed-unigram bag models, target =
+    the lang='en' slice.  Exact integer micro-bit sums (the
+    unigram_lm fixed-point trick), so Spark and DuckDB agree
+    bit-for-bit on any partitioning."""
+    return analysis.dsir_weights(_docs_table(spark, sf_dir))
+
+
+@q(
     "td_quality_score",
     """
 SELECT doc_id,

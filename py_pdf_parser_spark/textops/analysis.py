@@ -675,3 +675,174 @@ def bucket_by_thresholds(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style quality-rule bundle (Rae et al. 2021, public):
+    the per-rule boolean breakdown a corpus-prep pipeline wants BEFORE
+    collapsing to a keep/drop bit, so rule-level drop rates are
+    auditable per source/language.
+
+    Rules (whitespace-token adaptation of the published set):
+      word count within [min_words, max_words]; mean word length
+      within [min_mean_word_len, max_mean_word_len]; symbol-to-word
+      ratio ('#' chars + '...' runs, per word) <= max_symbol_ratio;
+      fraction of words containing an ASCII letter >= min_alpha_ratio;
+      at least min_stop_hits English stopword hits (the published
+      "required words" rule).
+
+    -> (doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+    n_stop, ok_words, ok_word_len, ok_symbols, ok_alpha, ok_stop,
+    keep).  Ratios are 6dp-rounded doubles computed from exact integer
+    counts, so the row hashes identically on any engine/partitioning.
+
+    Scale shape: a pure narrow Column pipeline — zero shuffles, full
+    codegen; at 10^12 docs this is scan-bound like every other
+    single-pass quality op here."""
+    n_words = F.size(_tokens()).cast("long")
+    sum_word_len = F.expr(
+        "aggregate(split(text, ' '), 0L, (a, x) -> a + length(x))"
+    )
+    n_hash = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "#", ""))
+    ).cast("long")
+    n_ellipsis = F.expr(
+        "CAST(size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)) AS LONG)"
+    )
+    n_alpha = F.expr(
+        "CAST(size(filter(split(text, ' '), x -> x rlike '[A-Za-z]'))"
+        " AS LONG)"
+    )
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n_stop = F.expr(
+        f"CAST(size(filter(split(text, ' '), x -> x in ({stop_list})))"
+        " AS LONG)"
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(sum_word_len / n_words, 6).alias("mean_word_len"),
+        F.round((n_hash + n_ellipsis) / n_words, 6).alias("symbol_ratio"),
+        F.round(n_alpha / n_words, 6).alias("alpha_ratio"),
+        n_stop.alias("n_stop"),
+    )
+    ok_words = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= max_words
+    )
+    ok_word_len = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    ok_symbols = F.col("symbol_ratio") <= max_symbol_ratio
+    ok_alpha = F.col("alpha_ratio") >= min_alpha_ratio
+    ok_stop = F.col("n_stop") >= min_stop_hits
+    return base.select(
+        "*",
+        ok_words.alias("ok_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_word_len & ok_symbols & ok_alpha & ok_stop).alias(
+            "keep"
+        ),
+    )
+
+
+DSIR_BUCKETS = 1024  # hashed feature space (Xie et al. 2023 use 10^4)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame | None = None,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every
+    raw document by how target-like it is under hashed-unigram bag
+    models — weight = sum over tokens of
+    log2(p_target(feature) / p_raw(feature)), add-one smoothed over a
+    shared ``n_buckets``-bucket feature space.
+
+    ``target`` is the in-domain sample (defaults to the ``lang='en'``
+    slice of ``docs`` so the operator is self-contained); any
+    (doc_id, text, ...) frame works.  -> (doc_id, n_tokens,
+    dsir_weight) with dsir_weight the exact integer micro-bit sum —
+    the same fixed-point trick as ``unigram_lm``: the only float op is
+    one log2 per feature bucket (<= n_buckets rows), so the per-doc
+    sums are partition-order-free and engine-exact.  Resample by
+    sampling proportional to exp(weight) downstream (hash_sample on a
+    weight-derived acceptance is the deterministic variant).
+
+    Scale shape: each model trains in one map-side-combinable token
+    shuffle whose post-combine volume is <= n_buckets rows per map
+    task; the two count tables outer-join at n_buckets rows (add-one
+    smoothing covers buckets absent from either side); scoring is
+    token explode + broadcast model join + doc_id aggregate.  No
+    corpus self-join, no id-set broadcast (deliberately NOT an
+    is-target flag join: that would broadcast the target's doc_id
+    set, which for a corpus-slice target is corpus-sized), no driver
+    state."""
+    if target is None:
+        target = docs.where(F.col("lang") == "en")
+    feat = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+    def feature_counts(frame, cname):
+        return (
+            frame.select(
+                F.explode(F.split(F.col("text"), " ")).alias("tok")
+            )
+            .select(feat.alias("f"))
+            .groupBy("f")
+            .agg(F.count("*").alias(cname))
+        )
+
+    counts = (
+        feature_counts(docs, "c_raw")
+        .join(feature_counts(target, "c_tgt"), "f", "full_outer")
+        .select(
+            "f",
+            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    lp = lambda c, n: F.round(  # noqa: E731
+        F.log2(
+            (c + F.lit(1)).cast("double")
+            / (n + F.lit(n_buckets)).cast("double")
+        )
+        * F.lit(LM_MICRO)
+    ).cast("long")
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "f",
+        (
+            lp(F.col("c_tgt"), F.col("n_tgt"))
+            - lp(F.col("c_raw"), F.col("n_raw"))
+        ).alias("lr"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", feat.alias("f"))
+    return (
+        toks.join(F.broadcast(model), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lr").cast("long").alias("dsir_weight"),
+        )
+    )

@@ -222,3 +222,74 @@ def shard_stats(
             "fill"
         ),
     )
+
+
+# Hash keyspace for corpus_shuffle sort keys: the first 8 md5 hex
+# digits, so keys are uniform on [0, 2^32).
+_SHUFFLE_KEYSPACE = 1 << 32
+
+
+def corpus_shuffle(
+    docs: DataFrame,
+    seed: str = "s0",
+    n_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a position 0..n-1 in the order of ``md5("<doc_id>:<seed>")`` — the
+    reproducible permutation a training run records in its manifest
+    (same seed => same order on any cluster size, any partitioning,
+    any engine; change the seed to reshuffle between epochs).
+
+    -> (doc_id, sort_key, pos).  ``sort_key`` is the int64 of the first
+    8 md5 hex digits (ties broken by doc_id); ``pos`` is the exact
+    global rank, ANSI-reproducible as
+    ``ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) - 1``.
+
+    Scale design — the naive form is a global-ORDER window (one
+    partition holding the corpus).  Because the keys are uniform on
+    [0, 2^32), value-range bucketing decomposes the rank exactly like
+    ``token_shards`` decomposes the cumsum: bucket = key div
+    (2^32 / n_buckets); ONE hash exchange on bucket computes
+    within-bucket ranks (window) and bucket counts (groupBy,
+    ReusedExchange); the exclusive prefix over the <= n_buckets count
+    rows is the only single-partition stage (10^6 rows at the 2^20
+    default — kilobytes); offsets broadcast back.  Rows per bucket
+    concentrate around corpus/n_buckets, so at 10^12 docs raise
+    n_buckets (it only changes the decomposition, never the result).
+    Small-scale callers pass a small n_buckets so the multi-bucket
+    path stays exercised.
+    """
+    if n_buckets < 1 or n_buckets > _SHUFFLE_KEYSPACE:
+        raise ValueError("n_buckets must be in [1, 2^32]")
+    width = _SHUFFLE_KEYSPACE // int(n_buckets)
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(seed))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = docs.select("doc_id", key.alias("sort_key")).withColumn(
+        "bucket", F.expr(f"sort_key div {width}")
+    )
+    w_local = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
+    local = t.withColumn(
+        "rk", F.row_number().over(w_local).cast("long") - F.lit(1)
+    )
+    bucket_counts = t.groupBy("bucket").agg(F.count("*").alias("n"))
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_counts.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w_buckets), F.lit(0)).alias("before"),
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "sort_key",
+        (F.col("before") + F.col("rk")).cast("long").alias("pos"),
+    )

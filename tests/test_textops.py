@@ -1484,3 +1484,103 @@ class TestPerplexityBuckets:
         if "tail" in by_bucket:
             lower = by_bucket.get("middle") or by_bucket["head"]
             assert max(lower) < min(by_bucket["tail"])
+
+
+class TestGopherRules:
+    def test_each_rule_fires_on_its_planted_doc(self, spark):
+        good = "the cat and dog ran to a tree in the park and sat on it"
+        docs = _docs(spark, [
+            (1, good),                                   # all rules pass
+            (2, "the and of"),                           # too few words
+            (3, "the " + "supercalifragilistic " * 19),  # mean len high
+            (4, "a a a a a " * 4),                       # mean len low
+            (5, good + " ### ... ... ### #"),            # symbols high
+            (6, "the 123 456 789 000 111 222 333 444 a"),  # alpha low
+            (7, "cats dogs birds fish mice foxes wolves bears deer "
+                "hawks"),                                # no stopwords
+        ])
+        out = {r["doc_id"]: r for r in analysis.gopher_rules(
+            docs, min_words=10, max_words=40,
+            min_mean_word_len=2.0, max_mean_word_len=6.0,
+        ).collect()}
+        assert out[1]["keep"]
+        assert not out[2]["ok_words"] and not out[2]["keep"]
+        assert not out[3]["ok_word_len"]
+        assert not out[4]["ok_word_len"]
+        assert not out[5]["ok_symbols"] and out[5]["symbol_ratio"] > 0.1
+        assert not out[6]["ok_alpha"] and out[6]["alpha_ratio"] == 0.2
+        assert not out[7]["ok_stop"] and out[7]["n_stop"] == 0
+        # exact audit numbers on the clean doc
+        assert out[1]["n_words"] == 15 and out[1]["n_stop"] >= 2
+
+    def test_word_count_bounds_inclusive(self, spark):
+        docs = _docs(spark, [(1, "the a is of to"), (2, "the a is of")])
+        out = {r["doc_id"]: r for r in analysis.gopher_rules(
+            docs, min_words=5, max_words=5,
+            min_mean_word_len=1.0, max_mean_word_len=9.0,
+        ).collect()}
+        assert out[1]["ok_words"] and not out[2]["ok_words"]
+
+
+class TestDsirWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        # target vocabulary {alpha beta gamma}; raw corpus mixes it
+        # with an off-domain vocabulary {zeta eta theta}.
+        rows = [(i, "alpha beta gamma alpha beta") for i in range(10)]
+        rows += [(100 + i, "zeta eta theta zeta eta") for i in range(10)]
+        rows += [(200, "alpha beta gamma beta alpha"),   # target-like
+                 (201, "zeta eta theta eta zeta")]       # off-domain
+        docs = spark.createDataFrame(
+            [(i, t, "en" if i < 10 else "xx", "s", 1) for i, t in rows],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+        out = {r["doc_id"]: r["dsir_weight"] for r in
+               analysis.dsir_weights(docs).collect()}
+        # absolute sign is smoothing-dependent at toy corpus sizes
+        # (add-one over n_buckets dominates 50-token models); the
+        # resampling-relevant property is the ORDERING.
+        assert out[200] > out[201]
+        assert out[201] == min(out.values())
+        assert max(out, key=out.get) < 100  # a pure-target doc tops
+
+    def test_exact_integer_and_partitioning_free(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 7} tok{i % 3} tok{i % 11} filler{i % 5}",
+              "en" if i % 2 == 0 else "de", "s", 1) for i in range(60)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long")
+        a = sorted(map(tuple, analysis.dsir_weights(
+            docs.repartition(1)).collect()))
+        b = sorted(map(tuple, analysis.dsir_weights(
+            docs.repartition(13)).collect()))
+        assert a == b  # bit-for-bit, not approximately
+        assert all(isinstance(r[2], int) for r in a)
+
+
+class TestCorpusShuffle:
+    def test_exact_permutation_and_bucket_invariance(self, spark):
+        docs = _docs(spark, [(i, f"d{i}") for i in range(97)])
+        out = packing.corpus_shuffle(docs, seed="s0", n_buckets=16)
+        rows = sorted((r["pos"], r["doc_id"]) for r in out.collect())
+        assert [p for p, _ in rows] == list(range(97))
+        # the decomposition never changes the result: 1 bucket (the
+        # naive global window) == 16 buckets == per-row buckets
+        for nb in (1, 1 << 20):
+            alt = sorted(
+                (r["pos"], r["doc_id"])
+                for r in packing.corpus_shuffle(
+                    docs, seed="s0", n_buckets=nb).collect())
+            assert alt == rows
+
+    def test_seed_changes_order_layout_does_not(self, spark):
+        docs = _docs(spark, [(i, f"d{i}") for i in range(80)])
+        base = sorted((r["doc_id"], r["pos"]) for r in
+                      packing.corpus_shuffle(docs, seed="s0").collect())
+        relaid = sorted((r["doc_id"], r["pos"]) for r in
+                        packing.corpus_shuffle(
+                            docs.repartition(11), seed="s0").collect())
+        assert base == relaid
+        other = sorted((r["doc_id"], r["pos"]) for r in
+                       packing.corpus_shuffle(docs, seed="s1").collect())
+        assert other != base
+        assert sorted(p for _, p in other) == list(range(80))
