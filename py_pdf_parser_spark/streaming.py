@@ -578,3 +578,112 @@ def stream_quality_gate(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_gopher_gate(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str = "gopher_gate",
+    max_files_per_trigger: int = 4,
+    **rule_bounds,
+):
+    """Streaming Gopher-rule quality gate at ingest: the stateless
+    per-document analysis.gopher_rules audit (per-rule flags + keep)
+    applied to a file-source stream.  The rule thresholds compile into
+    the plan as literals — no state store, no watermark — so results
+    are identical to the batch operator on the same rows (asserted by
+    test) and replayed files decide identically across restarts.
+    Append-mode memory sink under ``query_name``; ``rule_bounds``
+    forwards min_words/max_words/etc to gopher_rules."""
+    from .textops.analysis import gopher_rules
+
+    doc_table_schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(doc_table_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        gopher_rules(stream, **rule_bounds)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+
+
+def write_dsir_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    model: DataFrame,
+    output_dir: str,
+    n_buckets: int,
+) -> None:
+    """Idempotent micro-batch writer for ``stream_dsir_gate``: score
+    the batch against the FIXED model, dynamic-partition-overwrite on
+    batch_id (scoring is deterministic integer arithmetic, so a
+    replayed batch rewrites its partition byte-identically)."""
+    from pyspark.sql import functions as F
+
+    from .textops.analysis import dsir_score
+
+    (
+        dsir_score(batch_df.select("doc_id", "text"), model, n_buckets)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
+def stream_dsir_gate(
+    spark: SparkSession,
+    input_dir: str,
+    model: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+    n_buckets: int = None,
+) -> StreamingQuery:
+    """Streaming DSIR scoring at ingest: each arriving document is
+    scored against a FIXED pre-trained (f, lr) model
+    (``analysis.dsir_model``, trained once on a reference corpus +
+    in-domain sample) — the deployment shape of importance
+    resampling, where the model is a broadcast artifact and the
+    stream only pays the score path (explode + broadcast join +
+    per-doc sum).
+
+    The model covers the whole finite feature space, so documents
+    with tokens the training corpus never saw still score, and the
+    gate never retrains mid-stream (the statistically correct
+    shape).  The per-doc aggregate runs per micro-batch under
+    ``foreachBatch`` (a document arrives whole in one file, never
+    split across batches — the same contract as
+    ``stream_quality_gate``), so results equal the batch
+    ``dsir_score`` with the same model on the same rows (asserted by
+    test).  Exactly-once via batch_id dynamic partition overwrite."""
+    from .textops.analysis import DSIR_BUCKETS
+
+    nb = n_buckets or DSIR_BUCKETS
+    doc_table_schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(doc_table_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_dsir_batch(batch_df, batch_id, model, output_dir, nb)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -794,10 +794,26 @@ def dsir_weights(
     state."""
     if target is None:
         target = docs.where(F.col("lang") == "en")
-    feat = (
+    return dsir_score(docs, dsir_model(docs, target, n_buckets), n_buckets)
+
+
+def _dsir_feature(n_buckets: int):
+    return (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
         % n_buckets
     )
+
+
+def dsir_model(
+    docs: DataFrame, target: DataFrame, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Train the DSIR (f, lr) log-likelihood-ratio table: lr is the
+    integer micro-bit log2(p_target(f) / p_raw(f)) under add-one
+    smoothing over the shared ``n_buckets`` feature space.  This is
+    the broadcastable trained ARTIFACT — a deployment trains it once
+    on a reference corpus + in-domain sample and scores every
+    batch/stream against it (``dsir_score``)."""
+    feat = _dsir_feature(n_buckets)
 
     def feature_counts(frame, cname):
         return (
@@ -809,9 +825,16 @@ def dsir_weights(
             .agg(F.count("*").alias(cname))
         )
 
+    # Materialize EVERY bucket (the feature space is finite), so a
+    # fixed model can score documents whose tokens hash to buckets the
+    # training corpus never produced — those get the pure-smoothing
+    # ratio instead of silently dropping from the score.
+    all_f = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("f")
+    )
     counts = (
-        feature_counts(docs, "c_raw")
-        .join(feature_counts(target, "c_tgt"), "f", "full_outer")
+        all_f.join(feature_counts(docs, "c_raw"), "f", "left")
+        .join(feature_counts(target, "c_tgt"), "f", "left")
         .select(
             "f",
             F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
@@ -828,16 +851,27 @@ def dsir_weights(
         )
         * F.lit(LM_MICRO)
     ).cast("long")
-    model = counts.crossJoin(F.broadcast(totals)).select(
+    return counts.crossJoin(F.broadcast(totals)).select(
         "f",
         (
             lp(F.col("c_tgt"), F.col("n_tgt"))
             - lp(F.col("c_raw"), F.col("n_raw"))
         ).alias("lr"),
     )
+
+
+def dsir_score(
+    docs: DataFrame, model: DataFrame, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Score documents against a trained DSIR model (``dsir_model``
+    output): token explode + broadcast model join + one doc_id
+    aggregate.  The model covers the entire finite feature space
+    (``dsir_model`` emits all n_buckets rows), so every token scores —
+    including ones the training corpus never saw, which get the
+    pure-smoothing ratio."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).select("doc_id", feat.alias("f"))
+    ).select("doc_id", _dsir_feature(n_buckets).alias("f"))
     return (
         toks.join(F.broadcast(model), "f")
         .groupBy("doc_id")

@@ -432,3 +432,82 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
     }
     assert got == want and len(want) == 40
     assert {b for _, _, _, b in got} <= {"head", "middle", "tail"}
+
+
+def test_stream_gopher_gate_matches_batch(spark, tmp_path):
+    """Stateless streaming Gopher-rule gate == the batch operator."""
+    from py_pdf_parser_spark.streaming import stream_gopher_gate
+    from py_pdf_parser_spark.textops.analysis import gopher_rules
+
+    rows = [
+        (1, "the cat and dog ran to a tree in the park and sat on it",
+         "en", "s0", 56),
+        (2, "the and of", "en", "s0", 10),
+        (3, "cats dogs birds fish mice foxes wolves bears deer hawks",
+         "en", "s1", 55),
+        (4, "the 123 456 789 000 111 222 333 444 a", "en", "s1", 38),
+    ]
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    docs = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "in")
+    docs.coalesce(2).write.parquet(in_dir)
+
+    bounds = dict(min_words=10, max_words=40,
+                  min_mean_word_len=2.0, max_mean_word_len=6.0)
+    q = stream_gopher_gate(
+        spark, in_dir, query_name="gph_t", max_files_per_trigger=1,
+        **bounds)
+    try:
+        q.processAllAvailable()
+        got = {tuple(r)
+               for r in spark.sql("SELECT * FROM gph_t").collect()}
+    finally:
+        q.stop()
+    want = {tuple(r) for r in gopher_rules(docs, **bounds).collect()}
+    assert got == want and len(want) == 4
+    kept = {r[0] for r in want if r[-1]}
+    assert kept == {1}
+
+
+def test_stream_dsir_gate_matches_batch(spark, tmp_path):
+    """Streaming DSIR scoring (fixed pre-trained model) == batch
+    dsir_score with the same model on the same rows, including docs
+    whose tokens the training corpus never saw."""
+    from py_pdf_parser_spark.streaming import stream_dsir_gate
+    from py_pdf_parser_spark.textops.analysis import (
+        dsir_model,
+        dsir_score,
+    )
+
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en" if i % 2 == 0 else "de",
+          "s", 1) for i in range(20)], schema)
+    model = dsir_model(
+        ref, ref.where("lang = 'en'"), n_buckets=128).persist()
+
+    incoming = spark.createDataFrame(
+        [(1000, "alpha beta alpha", "xx", "s", 1),
+         (1001, "neverseen tokens entirely fresh", "xx", "s", 1),
+         (1002, "gamma neverseen delta", "xx", "s", 1)], schema)
+    in_dir = str(tmp_path / "in")
+    incoming.coalesce(3).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    q = stream_dsir_gate(
+        spark, in_dir, model, out_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, n_buckets=128)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["doc_id"], r["n_tokens"], r["dsir_weight"])
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {tuple(r) for r in
+            dsir_score(incoming, model, n_buckets=128).collect()}
+    assert got == want and len(want) == 3
+    # every token scored, unseen ones included
+    assert {r[1] for r in want} == {3, 4}
