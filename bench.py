@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "td_gopher_rules",
     "td_dsir_weights",
     "td_corpus_shuffle",
+    "td_shuffled_shards",
 ]
 
 

@@ -2022,6 +2022,47 @@ def td_corpus_shuffle(spark, sf_dir):
 
 
 @q(
+    "td_shuffled_shards",
+    """
+WITH k AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 8)
+              AS BIGINT) AS sort_key
+  FROM documents),
+p AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) - 1 AS pos
+      FROM k),
+t AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+c AS (
+  SELECT t.doc_id, t.n_tokens,
+         CAST(COALESCE(SUM(t.n_tokens) OVER (
+             ORDER BY p.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM t JOIN p USING (doc_id))
+SELECT doc_id, n_tokens, cum_before // 2048 AS shard_id FROM c""",
+)
+def td_shuffled_shards(spark, sf_dir):
+    """Shard packing in shuffled TRAINING order — the composition a
+    run actually ships: corpus_shuffle assigns the epoch permutation,
+    token_shards packs the fixed token budget along it
+    (order_col='pos'; pos is dense 0..n-1, so the value-range prefix
+    decomposition applies unchanged).  Consecutive shards are random
+    document mixes instead of ingest-order runs."""
+    docs = _docs_table(spark, sf_dir)
+    shuffled = packing.corpus_shuffle(docs, seed="s0", n_buckets=64)
+    tokens = analysis.token_count(docs).join(
+        shuffled.select("doc_id", "pos"), "doc_id"
+    )
+    return packing.token_shards(
+        docs, budget=2048, tokens=tokens, bucket_width=64,
+        order_col="pos",
+    )
+
+
+@q(
     "td_gopher_rules",
     """
 WITH b AS (

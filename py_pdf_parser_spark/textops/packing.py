@@ -70,11 +70,12 @@ def token_shards(
     budget: int = 2048,
     tokens: DataFrame | None = None,
     bucket_width: int = DEFAULT_BUCKET_WIDTH,
+    order_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, n_tokens, shard_id): fixed-budget contiguous packing.
 
-    ``shard_id = (exclusive running sum of n_tokens in doc_id order)
-    div budget`` — shard k is the token-axis window
+    ``shard_id = (exclusive running sum of n_tokens in order_col
+    order) div budget`` — shard k is the token-axis window
     ``[k*budget, (k+1)*budget)`` rounded to document boundaries: a
     document goes to the shard its FIRST token lands in.  A shard's
     actual token_sum therefore deviates from ``budget`` by at most the
@@ -87,20 +88,26 @@ def token_shards(
     the materialized-table shape a deployment shares between budgeting
     and packing.  Without it, whitespace token counts are derived
     inline (narrow, codegen).
+
+    ``order_col``: the ~dense int64 column defining the packing order
+    (must exist in ``tokens`` when passed; ``doc_id`` by default).
+    Pass ``corpus_shuffle``'s ``pos`` to pack shards in shuffled
+    TRAINING order instead of ingest order — pos is dense 0..n-1, so
+    the value-range bucket decomposition applies unchanged.
     """
     if tokens is None:
         from . import analysis
 
         tokens = analysis.token_count(docs)
     t = tokens.withColumn(
-        "bucket", F.expr(f"doc_id div {int(bucket_width)}")
+        "bucket", F.expr(f"{order_col} div {int(bucket_width)}")
     )
 
     # Stage 2: within-bucket exclusive cumsum + bucket totals on ONE
     # hashpartitioning(bucket) exchange.
     w_local = (
         Window.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = t.withColumn(

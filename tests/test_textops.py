@@ -1584,3 +1584,38 @@ class TestCorpusShuffle:
                        packing.corpus_shuffle(docs, seed="s1").collect())
         assert other != base
         assert sorted(p for _, p in other) == list(range(80))
+
+
+class TestShuffledShards:
+    def test_matches_python_reference_and_reconciles(self, spark):
+        import hashlib
+
+        docs = _docs(spark, [
+            (i, " ".join("w" for _ in range(3 + i % 7)))
+            for i in range(50)
+        ])
+        shuffled = packing.corpus_shuffle(docs, seed="s0", n_buckets=8)
+        tokens = analysis.token_count(docs).join(
+            shuffled.select("doc_id", "pos"), "doc_id")
+        out = packing.token_shards(
+            docs, budget=16, tokens=tokens, bucket_width=8,
+            order_col="pos")
+        got = {r["doc_id"]: (r["n_tokens"], r["shard_id"])
+               for r in out.collect()}
+
+        # plain-python model: sort by md5 key, exclusive cumsum
+        def key(i):
+            return (hashlib.md5(f"{i}:s0".encode()).hexdigest()[:8], i)
+
+        order = sorted(range(50), key=key)
+        cum, want = 0, {}
+        for i in order:
+            n = 3 + i % 7
+            want[i] = (n, cum // 16)
+            cum += n
+        assert got == want
+        # shard sums reconcile to the corpus total
+        by_shard = {}
+        for n, s in got.values():
+            by_shard[s] = by_shard.get(s, 0) + n
+        assert sum(by_shard.values()) == cum
