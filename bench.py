@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "td_dsir_weights",
     "td_corpus_shuffle",
     "td_shuffled_shards",
+    "td_bigram_perplexity",
+    "td_dataset_split",
+    "td_split_stats",
+    "td_corpus_manifest",
 ]
 
 

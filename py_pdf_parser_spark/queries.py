@@ -3405,6 +3405,124 @@ def td_prep_scrub_score(spark, sf_dir):
     )
 
 
+@q(
+    "td_bigram_perplexity",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM t),
+p AS (SELECT doc_id, pos, toks[pos] AS tok,
+             CASE WHEN pos > 1 THEN toks[pos - 1] END AS prev
+      FROM x),
+c1 AS (SELECT tok, COUNT(*) AS c FROM p GROUP BY tok),
+s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS v_size FROM c1),
+c2 AS (SELECT prev, tok, COUNT(*) AS c2
+       FROM p WHERE pos > 1 GROUP BY prev, tok),
+lp1 AS (SELECT tok,
+               CAST(round(log2((c + 1.0) / (n_total + v_size)) * 1000000)
+                    AS BIGINT) AS lp
+        FROM c1, s),
+lp2 AS (SELECT c2.prev, c2.tok,
+               CAST(round(log2((c2.c2 + 1.0) / (c1.c + s.v_size)) * 1000000)
+                    AS BIGINT) AS lp
+        FROM c2 JOIN c1 ON c2.prev = c1.tok, s),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN p.pos = 1 THEN lp1.lp ELSE lp2.lp END AS lp
+  FROM p
+  LEFT JOIN lp1 ON p.pos = 1 AND p.tok = lp1.tok
+  LEFT JOIN lp2 ON p.pos > 1 AND p.prev = lp2.prev AND p.tok = lp2.tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(-CAST(SUM(lp) AS BIGINT) / COUNT(*) / 1000000.0, 4)
+           AS bits_per_token
+FROM sc GROUP BY doc_id""",
+)
+def td_bigram_perplexity(spark, sf_dir):
+    """CCNet-style bits-per-token under a corpus-trained add-one
+    BIGRAM LM (first token scored by the unigram model) — the next
+    model up the KenLM quality-filter ladder from td_lm_perplexity.
+    Fixed-point micro-bit log-probs keep the per-doc sum exact-integer
+    and engine-portable; the only float is one log2 per distinct
+    bigram."""
+    return analysis.bigram_perplexity(_docs_table(spark, sf_dir))
+
+
+@q(
+    "td_dataset_split",
+    """
+SELECT doc_id, source, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'),
+              1, 8)) AS BIGINT) % 100 AS BIGINT) AS bucket
+  FROM documents)""",
+)
+def td_dataset_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by
+    md5(doc_id:seed) bucket — content-stable across runs, cluster
+    sizes, and engines (the property that makes eval sets reproducible
+    and decontamination auditable)."""
+    return analysis.dataset_split(
+        _docs_table(spark, sf_dir), pcts=(90, 5, 5), seed="s0"
+    )
+
+
+@q(
+    "td_split_stats",
+    """
+WITH a AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'),
+              1, 8)) AS BIGINT) % 100 AS BIGINT) AS bucket
+  FROM documents)
+SELECT source,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM a GROUP BY 1, 2""",
+)
+def td_split_stats(spark, sf_dir):
+    """Stratification audit for td_dataset_split: per (source, split)
+    document and token counts — the manifest a pipeline publishes so
+    skewed strata are caught before training."""
+    return analysis.split_stats(
+        _docs_table(spark, sf_dir), pcts=(90, 5, 5), seed="s0"
+    )
+
+
+@q(
+    "td_corpus_manifest",
+    """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(text) AS h
+  FROM documents),
+d AS (SELECT h FROM b GROUP BY h HAVING COUNT(*) >= 2)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       round(CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM b LEFT JOIN d ON b.h = d.h
+GROUP BY b.source""",
+)
+def td_corpus_manifest(spark, sf_dir):
+    """Per-source corpus card (docs, tokens, exact-dup docs, dup rate)
+    — the round-over-round summary table a curation run publishes
+    before training starts."""
+    return analysis.corpus_manifest(_docs_table(spark, sf_dir))
+
+
 # Pathological-bucket stress: the base corpus plus 300 byte-identical
 # copies of its first document — every band funnels them into ONE
 # bucket, which the chunk cap must keep sub-quadratic.

@@ -880,3 +880,196 @@ def dsir_score(
             F.sum("lr").cast("long").alias("dsir_weight"),
         )
     )
+
+
+def bigram_lm(docs: DataFrame) -> DataFrame:
+    """Corpus-trained bigram language model: (prev, tok, lp) where lp
+    is the add-one-smoothed conditional log2-probability in micro-bits
+    (BIGINT, round(log2((c2+1)/(c1[prev]+V)) * 1e6)) — the next model
+    up from ``unigram_lm`` on the CCNet/KenLM quality-filtering ladder
+    (Wenzek et al. 2020; KenLM is public).  Same fixed-point discipline
+    as ``unigram_lm``: ONE float log2 per distinct bigram, everything
+    downstream sums exact integers, partition-order-free.
+
+    Scale shape: the pair explode is narrow (``slice`` + ``transform``
+    over the token array — no window, no per-doc shuffle just to find
+    the previous token); bigram counts are one (prev, tok) shuffle,
+    map-side combinable.  The context counts c1 and the 1-row (N, V)
+    totals are vocab-sized and broadcast onto the bigram table.  The
+    MODEL itself is bigram-vocab-sized (~10^9-10^10 rows at web scale)
+    and does NOT broadcast — consumers join it by shuffle on the
+    (prev, tok) key (see ``bigram_perplexity``)."""
+    toks = docs.select(F.split(F.col("text"), " ").alias("toks"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 2, size(toks) - 1),"
+                " (t, i) -> struct(toks[i] AS prev, t AS tok))"
+            )
+        ).alias("p")
+    ).select("p.prev", "p.tok")
+    c2 = pairs.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    c1 = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    v = c1.agg(F.count("*").alias("v_size"))
+    return (
+        c2.join(
+            F.broadcast(c1.select(F.col("tok").alias("prev"), "c")), "prev"
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            "prev",
+            "tok",
+            F.round(
+                F.log2(
+                    (F.col("c2") + F.lit(1)).cast("double")
+                    / (F.col("c") + F.col("v_size")).cast("double")
+                )
+                * F.lit(LM_MICRO)
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+
+
+def bigram_perplexity(docs: DataFrame) -> DataFrame:
+    """CCNet-style quality score under a corpus-trained bigram LM:
+    per-document bits-per-token, position 1 scored by the unigram
+    model (no context yet), positions 2..n by the add-one bigram
+    conditionals -> (doc_id, n_tokens, bits_per_token) with the exact
+    integer micro-bit sum of ``unigram_lm``/``bigram_lm``.
+
+    Scale shape: position rows come from ONE narrow array transform +
+    explode (prev carried inline — no window).  First-token rows join
+    the broadcast unigram table; the rest join the bigram model by
+    shuffle on (prev, tok) — at web scale that model outgrows any
+    broadcast threshold, and the pair explode's partitioning feeds the
+    same (prev, tok) exchange the model build used, so AQE reuses the
+    shape.  One final doc_id aggregation."""
+    pos_tbl = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(split(text, ' '), (t, i) -> struct("
+                "i AS pos, t AS tok,"
+                " CASE WHEN i > 0 THEN split(text, ' ')[i - 1] END AS prev))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.pos", "p.tok", "p.prev")
+    uni = unigram_lm(docs)
+    big = bigram_lm(docs)
+    first = (
+        pos_tbl.where(F.col("pos") == 0)
+        .join(F.broadcast(uni), "tok")
+        .select("doc_id", "lp")
+    )
+    rest = (
+        pos_tbl.where(F.col("pos") > 0)
+        .join(big, ["prev", "tok"])
+        .select("doc_id", "lp")
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum("lp") / F.count("*") / F.lit(float(LM_MICRO)), 4
+            ).alias("bits_per_token"),
+        )
+    )
+
+
+def dataset_split(
+    docs: DataFrame, pcts: tuple = (90, 5, 5), seed: str = "s0"
+) -> DataFrame:
+    """Deterministic train/val/test assignment: split by
+    md5("<doc_id>:<seed>") mod 100 against cumulative percentage
+    fences -> (doc_id, source, bucket, split).  Content-stable like
+    ``hash_sample`` (same doc lands in the same split on every run,
+    cluster size, and engine — no RNG), which is what makes eval sets
+    reproducible and decontamination auditable.  Narrow, shuffle-free,
+    codegen'd; stratification across sources is the statistical
+    property of the uniform hash (audited by ``split_stats``)."""
+    assert sum(pcts) == 100 and len(pcts) == 3
+    key = F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(seed))
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+    )
+    t_hi, v_hi = pcts[0], pcts[0] + pcts[1]
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def split_stats(
+    docs: DataFrame, pcts: tuple = (90, 5, 5), seed: str = "s0"
+) -> DataFrame:
+    """Stratification audit for ``dataset_split``: per (source, split)
+    document and token counts -> (source, split, n_docs, n_tokens).
+    One map-side-combinable groupBy over the narrow assignment — the
+    table a pipeline publishes next to the split manifest so skewed
+    strata are caught before training."""
+    assigned = dataset_split(docs, pcts=pcts, seed=seed).join(
+        docs.select(
+            "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def corpus_manifest(docs: DataFrame) -> DataFrame:
+    """Per-source corpus card: (source, n_docs, n_tokens, n_dup_docs,
+    dup_frac) where n_dup_docs counts documents whose EXACT text
+    (md5) occurs in >= 2 documents corpus-wide — the summary table a
+    curation run publishes (and diffs round-over-round) before
+    training ever starts.
+
+    Scale shape: one narrow projection computes (source, n_tokens,
+    text-md5) per doc; the duplicate-key set is the output of a
+    HAVING-count>=2 aggregate over the md5 keys (bounded by dup
+    families, small in a mostly-unique corpus) and joins back as a
+    broadcast semi-join flag, same shape as ``dedup.exact_dups``; the
+    final groupBy(source) is map-side combinable over a handful of
+    source values."""
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    dup_keys = (
+        base.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("h")
+    )
+    flagged = base.join(
+        F.broadcast(dup_keys.withColumn("is_dup", F.lit(1))), "h", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias(
+            "n_dup_docs"
+        ),
+        F.round(
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -1619,3 +1619,156 @@ class TestShuffledShards:
         for n, s in got.values():
             by_shard[s] = by_shard.get(s, 0) + n
         assert sum(by_shard.values()) == cum
+
+
+class TestBigramPerplexity:
+    def test_matches_plain_python_model(self, spark):
+        """bits_per_token == the hand-computed model: first token by
+        add-one unigram, positions 2..n by the add-one bigram
+        conditional, through the same micro-bit rounding."""
+        import math
+        from collections import Counter
+
+        rows = [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "the dog sat sat"),
+        ]
+        toks = [t for _, s in rows for t in s.split(" ")]
+        c1 = Counter(toks)
+        c2 = Counter(
+            (ts[i - 1], ts[i])
+            for _, s in rows
+            for ts in [s.split(" ")]
+            for i in range(1, len(ts))
+        )
+        n, v = len(toks), len(c1)
+        lp1 = {
+            t: round(math.log2((k + 1) / (n + v)) * 1e6)
+            for t, k in c1.items()
+        }
+
+        def lp2(prev, tok):
+            return round(
+                math.log2((c2[(prev, tok)] + 1) / (c1[prev] + v)) * 1e6
+            )
+
+        out = {
+            r["doc_id"]: r
+            for r in analysis.bigram_perplexity(_docs(spark, rows)).collect()
+        }
+        for doc_id, s in rows:
+            ts = s.split(" ")
+            total = lp1[ts[0]] + sum(
+                lp2(ts[i - 1], ts[i]) for i in range(1, len(ts))
+            )
+            want = round(-total / len(ts) / 1e6, 4)
+            assert out[doc_id]["n_tokens"] == len(ts)
+            assert out[doc_id]["bits_per_token"] == pytest.approx(want)
+
+    def test_predictable_context_scores_fewer_bits(self, spark):
+        """A doc made of corpus-frequent bigrams scores fewer
+        bits/token than one of never-seen transitions over the same
+        vocabulary."""
+        base = [(i, "a b a b a b a b") for i in range(1, 6)]
+        rows = base + [(10, "a b a b a b"), (11, "b b a a b b")]
+        out = {
+            r["doc_id"]: r["bits_per_token"]
+            for r in analysis.bigram_perplexity(_docs(spark, rows)).collect()
+        }
+        assert out[10] < out[11]
+
+    def test_single_token_doc_scores_by_unigram_only(self, spark):
+        import math
+
+        rows = [(1, "x"), (2, "x y")]
+        # corpus: tokens x,x,y -> n=3, v=2; c(x)=2
+        want = round(-round(math.log2(3 / 5) * 1e6) / 1 / 1e6, 4)
+        out = {
+            r["doc_id"]: r
+            for r in analysis.bigram_perplexity(_docs(spark, rows)).collect()
+        }
+        assert out[1]["n_tokens"] == 1
+        assert out[1]["bits_per_token"] == pytest.approx(want)
+
+
+def _sdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+class TestDatasetSplit:
+    def test_fences_and_determinism(self, spark):
+        """Every doc lands in exactly one split, by its md5 bucket
+        against the 90/95 fences, and assignment is identical across
+        calls (content-stable, no RNG)."""
+        rows = [(i, f"doc {i}", f"s{i % 3}") for i in range(200)]
+        a = analysis.dataset_split(_sdocs(spark, rows)).collect()
+        b = analysis.dataset_split(_sdocs(spark, rows)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        for r in a:
+            want = (
+                "train"
+                if r["bucket"] < 90
+                else ("val" if r["bucket"] < 95 else "test")
+            )
+            assert r["split"] == want
+        got = {r["split"] for r in a}
+        assert got == {"train", "val", "test"}
+
+    def test_split_stats_reconciles(self, spark):
+        """split_stats sums == corpus totals, per source."""
+        rows = [
+            (i, " ".join(["w"] * (1 + i % 5)), f"s{i % 2}")
+            for i in range(100)
+        ]
+        docs = _sdocs(spark, rows)
+        stats = analysis.split_stats(docs).collect()
+        assert sum(r["n_docs"] for r in stats) == 100
+        want_tokens = sum(1 + i % 5 for i in range(100))
+        assert sum(r["n_tokens"] for r in stats) == want_tokens
+        per_source = {}
+        for r in stats:
+            per_source[r["source"]] = per_source.get(r["source"], 0) + r["n_docs"]
+        assert per_source == {"s0": 50, "s1": 50}
+
+    def test_custom_pcts(self, spark):
+        rows = [(i, "t", "s") for i in range(300)]
+        out = analysis.dataset_split(
+            _sdocs(spark, rows), pcts=(50, 25, 25)
+        ).collect()
+        for r in out:
+            want = (
+                "train"
+                if r["bucket"] < 50
+                else ("val" if r["bucket"] < 75 else "test")
+            )
+            assert r["split"] == want
+
+
+class TestCorpusManifest:
+    def test_counts_and_dup_rate(self, spark):
+        rows = [
+            (1, "alpha beta", "web"),
+            (2, "alpha beta", "web"),     # exact dup of 1
+            (3, "gamma", "web"),
+            (4, "alpha beta", "books"),   # cross-source member of the family
+            (5, "delta eps zeta", "books"),
+        ]
+        out = {
+            r["source"]: r
+            for r in analysis.corpus_manifest(_sdocs(spark, rows)).collect()
+        }
+        assert out["web"]["n_docs"] == 3
+        assert out["web"]["n_tokens"] == 5
+        assert out["web"]["n_dup_docs"] == 2
+        assert out["web"]["dup_frac"] == pytest.approx(round(2 / 3, 6))
+        assert out["books"]["n_docs"] == 2
+        assert out["books"]["n_dup_docs"] == 1
+
+    def test_unique_corpus_has_zero_dups(self, spark):
+        rows = [(i, f"uniq {i}", "s") for i in range(10)]
+        out = analysis.corpus_manifest(_sdocs(spark, rows)).collect()
+        assert out[0]["n_dup_docs"] == 0
+        assert out[0]["dup_frac"] == 0.0
