@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "emb_ivf_multiprobe",
     "emb_kmeans_centroids",
     "emb_kmeans_ivf_topk",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
     "emb_dup_pairs",
     "emb_semantic_dedup",
     "ev_windowed_counts",

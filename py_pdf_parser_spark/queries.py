@@ -2920,6 +2920,154 @@ def emb_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(emb, threshold=0.9)
 
 
+# --- product quantization (Jegou et al. 2011): the memory-bound ANN
+# compression that completes the similarity stack (exact -> LSH -> IVF
+# -> PQ codes + ADC).  The oracle unrolls the same two Lloyd's
+# iterations PER SUBSPACE by carrying sub_id as a grouping key through
+# the kmeans CTE shape; distances round to 6dp before ranking so both
+# engines iterate on identical values (same argument as _kmeans_oracle:
+# FP summation-order noise is ~1e-15, nine orders below the step).
+
+_PQ_ITER = """
+, s{n} AS (
+  SELECT sv.vec_id, sv.sub_id, c.code,
+         round(list_distance(sv.v, c.c), 6) AS d
+  FROM sv JOIN c{p} c USING (sub_id)
+), a{n} AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT vec_id, sub_id, code,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d, code) AS rn
+    FROM s{n}) WHERE rn = 1
+), x{n} AS (
+  SELECT a.sub_id, a.code,
+         unnest(generate_series(1, len(sv.v))) AS pos, sv.v AS v
+  FROM a{n} a JOIN sv USING (vec_id, sub_id)
+), m{n} AS (
+  SELECT sub_id, code, pos, round(avg(v[pos]), 6) AS m
+  FROM x{n} GROUP BY sub_id, code, pos
+), c{n} AS (
+  SELECT sub_id, code, list(m ORDER BY pos) AS c
+  FROM m{n} GROUP BY sub_id, code
+)"""
+
+
+def _pq_oracle_base() -> str:
+    """Subvector table -> init codebook -> 2 unrolled training
+    iterations -> final assignment a3 (with its distance d) against
+    the trained codebook c2.  M=4 subspaces, K=8 codewords."""
+    return (
+        """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), sv AS (
+  SELECT vec_id, CAST(s AS BIGINT) AS sub_id,
+         list_slice(emb, CAST(s AS INT) * (len(emb) // 4) + 1,
+                    (CAST(s AS INT) + 1) * (len(emb) // 4)) AS v
+  FROM e, (SELECT unnest(range(0, 4)) AS s) t
+), c0 AS (
+  SELECT sub_id, vec_id AS code, v AS c FROM sv WHERE vec_id < 8
+)"""
+        + _PQ_ITER.format(n=1, p=0)
+        + _PQ_ITER.format(n=2, p=1)
+        + """
+, s3 AS (
+  SELECT sv.vec_id, sv.sub_id, c.code,
+         round(list_distance(sv.v, c.c), 6) AS d
+  FROM sv JOIN c2 c USING (sub_id)
+), a3 AS (
+  SELECT vec_id, sub_id, code, d FROM (
+    SELECT vec_id, sub_id, code, d,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d, code) AS rn
+    FROM s3) WHERE rn = 1
+)"""
+    )
+
+
+def _pq_codebook_table(spark, sf_dir):
+    """Trained PQ codebook, persisted per (application, corpus) — the
+    artifact a deployment trains once (over a hash_sample at web
+    scale) and every encode/search consumer broadcasts."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__pq_codebook__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = similarity.pq_train(_emb_table(spark, sf_dir), n_iters=2).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
+@q(
+    "emb_pq_codes",
+    _pq_oracle_base()
+    + """
+SELECT vec_id, sub_id, CAST(code AS BIGINT) AS code FROM a3""",
+)
+def emb_pq_codes(spark, sf_dir):
+    """PQ encoding of the corpus: train the 4x8 subspace codebook
+    (Lloyd's per subspace, corpus stationary), then encode every
+    vector as 4 codes in one broadcast projection — the M-bytes/vector
+    table that replaces raw floats at 10^12-vector scale.  Exploded to
+    (vec_id, sub_id, code) scalars for the oracle."""
+    return similarity.pq_codes(
+        _emb_table(spark, sf_dir),
+        codebook=_pq_codebook_table(spark, sf_dir),
+    )
+
+
+@q(
+    "emb_pq_adc_topk",
+    _pq_oracle_base()
+    + """
+, q AS (
+  SELECT vec_id AS q_id, sub_id, v FROM sv WHERE vec_id < 10
+), lut AS (
+  SELECT q.q_id, c.sub_id, c.code,
+         round(power(list_distance(q.v, c.c), 2), 6) AS d2
+  FROM q JOIN c2 c USING (sub_id)
+), sc AS (
+  SELECT l.q_id, a.vec_id, round(SUM(l.d2), 4) AS adist
+  FROM a3 a JOIN lut l ON a.sub_id = l.sub_id AND a.code = l.code
+  GROUP BY l.q_id, a.vec_id
+), r AS (
+  SELECT q_id, vec_id, adist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist, vec_id) AS rank
+  FROM sc WHERE vec_id != q_id
+)
+SELECT q_id, vec_id, adist, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+)
+def emb_pq_adc_topk(spark, sf_dir):
+    """Asymmetric Distance Computation top-k over the codes table:
+    each query builds its 4x8 LUT of squared subspace distances once
+    (broadcast), every database vector scores via 4 LUT lookups —
+    zero vector math per candidate, the compressed codes table never
+    shuffles.  The PQ deployment search path end to end (train ->
+    encode -> ADC)."""
+    emb = _emb_table(spark, sf_dir)
+    cb = _pq_codebook_table(spark, sf_dir)
+    return similarity.pq_adc_topk(emb, cb)
+
+
+@q(
+    "emb_pq_recon_stats",
+    _pq_oracle_base()
+    + """
+SELECT sub_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(AVG(d), 4) AS mean_dist
+FROM a3 GROUP BY sub_id""",
+)
+def emb_pq_recon_stats(spark, sf_dir):
+    """Codebook-quality manifest: per-subspace vector count and mean
+    quantization distance — the retrain-trigger metric a pipeline
+    monitors as the corpus drifts."""
+    return similarity.pq_recon_stats(
+        _emb_table(spark, sf_dir), _pq_codebook_table(spark, sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-stream analytics (events table): time windows, sessions, JSON
 # ---------------------------------------------------------------------------

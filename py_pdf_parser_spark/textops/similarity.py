@@ -504,3 +504,262 @@ def embedding_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): subspace codebooks + ADC search
+# ---------------------------------------------------------------------------
+#
+# The classic memory-bound ANN compression (Jegou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"): split each D-dim vector
+# into M contiguous subvectors, train an independent k-codeword
+# codebook per subspace (Lloyd's, L2), and store each vector as M small
+# integer codes.  Search is Asymmetric Distance Computation (ADC): the
+# raw query builds an M x K lookup table of squared subspace distances
+# once, and every database vector's approximate distance is M table
+# lookups — no float math per candidate.  At 10^12 vectors the codes
+# table is ~M bytes/vector (vs 4D), the codebook and per-query LUTs are
+# kilobytes riding a broadcast, and both training and assignment keep
+# the corpus stationary (same discipline as ``kmeans_centroids``: the
+# only exchanges are the (sub_id, code, pos) mean updates — bytes).
+#
+# Determinism mirrors the k-means contract so a SQL oracle reproduces
+# it bit-for-bit: init = subvectors of the first K corpus vectors,
+# assignment ranks round(L2, 6) ascending with lowest-code tie-break,
+# centroid components round to 6dp between iterations, LUT entries
+# round to 6dp and ADC sums round to 4dp.
+
+N_PQ_SUBS = 4
+N_PQ_CODES = 8
+
+_SUBVECS = (
+    "transform(sequence(0, {m1}), s -> "
+    "slice(transform({vec}, x -> cast(x as double)), "
+    "s * (size({vec}) div {m}) + 1, size({vec}) div {m}))"
+)
+
+_SUB_D2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "cast(0.0 as double), (a2, v) -> a2 + v)"
+)
+
+
+def _pq_subvecs_expr(n_subs: int, vec_col: str = "embedding") -> str:
+    return _SUBVECS.format(m1=n_subs - 1, m=n_subs, vec=vec_col)
+
+
+def _pq_cells_row(codebook: DataFrame) -> DataFrame:
+    """The whole codebook as ONE broadcastable row, code-ascending (so
+    a strict-< fold keeps the LOWEST code on rounded-distance ties —
+    identical to the oracle's rank(d ASC, code ASC))."""
+    return codebook.select(
+        "sub_id", "code", F.col("centroid").alias("c")
+    ).agg(
+        F.expr(
+            "array_sort(collect_list(struct(sub_id, code, c)))"
+        ).alias("cells")
+    )
+
+
+def _pq_best_code(sub_ref: str, sv_ref: str, round_dp: int) -> str:
+    """Min-distance fold over this subspace's codewords (projection)."""
+    d2 = _SUB_D2.format(a=sv_ref, b="cb.c")
+    return f"""
+aggregate(
+  transform(filter(cells, cb -> cb.sub_id = {sub_ref}),
+            cb -> named_struct(
+                'd', round(sqrt({d2}), {round_dp}),
+                'code', cb.code)),
+  named_struct('d', cast('Infinity' as double),
+               'code', cast(-1 as bigint)),
+  (acc, t) -> IF(t.d < acc.d, t, acc)
+)"""
+
+
+def pq_train(
+    emb: DataFrame,
+    n_subs: int = N_PQ_SUBS,
+    n_codes: int = N_PQ_CODES,
+    n_iters: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Train the M-subspace PQ codebook (Lloyd's per subspace, run for
+    all subspaces simultaneously with sub_id as a grouping key).
+
+    Per iteration the corpus subvector table is a narrow posexplode
+    (M rows per vector, no exchange), the whole codebook rides as one
+    broadcast row, and the argmin assignment is a pure projection; the
+    only shuffles are the (sub_id, code, pos) mean aggregations —
+    M x K x (D/M) = D x K partial rows per task, bytes at any corpus
+    size.  At web scale train over a deterministic ``hash_sample`` and
+    reuse the codebook corpus-wide (same note as kmeans_centroids).
+
+    Returns ``(sub_id, code, centroid array<double>)``.  A codeword
+    that captures no subvectors drops out (classic Lloyd's; identical
+    in the SQL oracle).
+    """
+    sv = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(_pq_subvecs_expr(n_subs))).alias(
+            "sub_id", "sv"
+        ),
+    ).select(
+        "vec_id", F.col("sub_id").cast("long").alias("sub_id"), "sv"
+    )
+    cents = sv.where(F.col("vec_id") < n_codes).select(
+        "sub_id",
+        F.col("vec_id").alias("code"),
+        F.col("sv").alias("centroid"),
+    )
+    best = _pq_best_code("sub_id", "sv", round_dp) + ".code"
+    for _ in range(n_iters):
+        assigned = sv.join(F.broadcast(_pq_cells_row(cents))).select(
+            "sub_id", F.expr(best).alias("code"), "sv"
+        )
+        means = (
+            assigned.select(
+                "sub_id", "code", F.posexplode("sv").alias("pos", "x")
+            )
+            .groupBy("sub_id", "code", "pos")
+            .agg(F.round(F.avg("x"), round_dp).alias("m"))
+        )
+        cents = means.groupBy("sub_id", "code").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))),"
+                " s -> s.m)"
+            ).alias("centroid")
+        )
+    return cents.select("sub_id", "code", "centroid")
+
+
+def pq_assign(
+    emb: DataFrame,
+    codebook: DataFrame,
+    n_subs: int = N_PQ_SUBS,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Encode every vector as M codes in ONE projection — no explode,
+    no shuffle: (vec_id, codes array<bigint> ordered by sub_id).  This
+    is the table a deployment persists (M bytes/vector instead of the
+    raw floats) and every ADC consumer scans."""
+    best = _pq_best_code("s", "svs[cast(s as int)]", round_dp) + ".code"
+    codes = (
+        f"transform(sequence(0, {n_subs - 1}), s -> {best})"
+    )
+    return (
+        emb.withColumn("svs", F.expr(_pq_subvecs_expr(n_subs)))
+        .join(F.broadcast(_pq_cells_row(codebook)))
+        .select("vec_id", F.expr(codes).alias("codes"))
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    codebook: DataFrame = None,
+    n_subs: int = N_PQ_SUBS,
+    n_codes: int = N_PQ_CODES,
+    n_iters: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """The exploded scalar view of ``pq_assign`` — one row per
+    (vec_id, sub_id, code), all BIGINT (the oracle-comparable shape;
+    trains the codebook first if one isn't supplied)."""
+    if codebook is None:
+        codebook = pq_train(emb, n_subs, n_codes, n_iters, round_dp)
+    return (
+        pq_assign(emb, codebook, n_subs, round_dp)
+        .select("vec_id", F.posexplode("codes").alias("sub_id", "code"))
+        .select(
+            "vec_id", F.col("sub_id").cast("long").alias("sub_id"), "code"
+        )
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame = None,
+    n_queries: int = 10,
+    k: int = 5,
+    n_subs: int = N_PQ_SUBS,
+    round_dp: int = 6,
+) -> DataFrame:
+    """ADC top-k: approximate nearest neighbors from the codes table
+    alone.  Each query subvector is scored against the codebook ONCE
+    (the M x K LUT of squared subspace distances, rounded to 6dp);
+    every database vector's distance is then a 4-entry filter+sum over
+    the broadcast LUT — zero vector math per candidate, the codes
+    table never shuffles (the only exchange is the per-query top-k
+    window over candidate rows, same shape as ``cosine_topk``).
+
+    Output: (q_id, vec_id, adist, rank) — adist = the ADC
+    approximation of squared L2, rounded to 4dp, ties broken by
+    vec_id.
+    """
+    if codes is None:
+        codes = pq_assign(emb, codebook, n_subs, round_dp)
+    d2 = _SUB_D2.format(a="svs[cast(s as int)]", b="cb.c")
+    lut = f"""
+flatten(transform(sequence(0, {n_subs - 1}), s ->
+  transform(filter(cells, cb -> cb.sub_id = s),
+            cb -> named_struct(
+                'sub_id', cb.sub_id, 'code', cb.code,
+                'd2', round({d2}, {round_dp})))))"""
+    q_lut = (
+        emb.where(F.col("vec_id") < n_queries)
+        .withColumn("svs", F.expr(_pq_subvecs_expr(n_subs)))
+        .join(F.broadcast(_pq_cells_row(codebook)))
+        .select(F.col("vec_id").alias("q_id"), F.expr(lut).alias("lut"))
+    )
+    qrow = q_lut.agg(
+        F.expr("array_sort(collect_list(struct(q_id, lut)))").alias("qs")
+    )
+    adist = (
+        "round(aggregate("
+        "filter(q.lut, e -> e.code = codes[cast(e.sub_id as int)]), "
+        "cast(0.0 as double), (acc, e) -> acc + e.d2), 4)"
+    )
+    scored = (
+        codes.join(F.broadcast(qrow))
+        .select("vec_id", "codes", F.explode("qs").alias("q"))
+        .select(
+            "vec_id",
+            F.col("q.q_id").alias("q_id"),
+            F.expr(adist).alias("adist"),
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "adist", "rank")
+    )
+
+
+def pq_recon_stats(
+    emb: DataFrame,
+    codebook: DataFrame,
+    n_subs: int = N_PQ_SUBS,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Codebook-quality manifest: per subspace, how many vectors and
+    the mean quantization distance (the number a pipeline monitors to
+    decide when to retrain).  Same stationary-corpus shape as
+    assignment; the aggregate exchanges M rows."""
+    best_d = _pq_best_code("sub_id", "sv", round_dp) + ".d"
+    sv = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(_pq_subvecs_expr(n_subs))).alias(
+            "sub_id", "sv"
+        ),
+    ).select(F.col("sub_id").cast("long").alias("sub_id"), "sv")
+    return (
+        sv.join(F.broadcast(_pq_cells_row(codebook)))
+        .select("sub_id", F.expr(best_d).alias("d"))
+        .groupBy("sub_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("d"), 4).alias("mean_dist"),
+        )
+    )

@@ -1772,3 +1772,152 @@ class TestCorpusManifest:
         out = analysis.corpus_manifest(_sdocs(spark, rows)).collect()
         assert out[0]["n_dup_docs"] == 0
         assert out[0]["dup_frac"] == 0.0
+
+
+class TestProductQuantization:
+    """PQ codebook / codes / ADC (similarity.pq_*)."""
+
+    @staticmethod
+    def _vecs(n=48, d=8, seed=5):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        base = rng.randn(4, d) * 2
+        return np.array(
+            [base[i % 4] + 0.1 * rng.randn(d) for i in range(n)]
+        )
+
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_matches_numpy_lloyds_per_subspace(self, spark):
+        """pq_train + pq_codes == a plain-numpy per-subspace Lloyd's
+        with the same init / round(L2, 6) / lowest-code tie-break."""
+        import numpy as np
+
+        vecs = self._vecs()
+        n_subs, n_codes, n_iters, dp = 4, 4, 2, 6
+        sd = vecs.shape[1] // n_subs
+        want_codes = {}
+        books = {}
+        for s in range(n_subs):
+            sub = vecs[:, s * sd : (s + 1) * sd]
+            cents = {c: sub[c].copy() for c in range(n_codes)}
+            for it in range(n_iters + 1):  # last pass = assignment only
+                ids = sorted(cents)
+                d = np.round(
+                    np.linalg.norm(
+                        sub[:, None, :]
+                        - np.array([cents[c] for c in ids])[None],
+                        axis=2,
+                    ),
+                    dp,
+                )
+                assign = [ids[j] for j in d.argmin(axis=1)]
+                if it == n_iters:
+                    break
+                new = {}
+                for c in ids:
+                    members = sub[[a == c for a in assign]]
+                    if len(members):
+                        new[c] = np.round(members.mean(axis=0), dp)
+                cents = new
+            books[s] = cents
+            for v, c in enumerate(assign):
+                want_codes[(v, s)] = c
+
+        emb = self._emb(spark, vecs)
+        cb = similarity.pq_train(
+            emb, n_subs=n_subs, n_codes=n_codes, n_iters=n_iters
+        )
+        got_book = {
+            (r.sub_id, r.code): r.centroid for r in cb.collect()
+        }
+        import numpy as np
+
+        for s, cents in books.items():
+            for c, want in cents.items():
+                assert np.allclose(got_book[(s, c)], want, atol=1e-9)
+        got = {
+            (r.vec_id, r.sub_id): r.code
+            for r in similarity.pq_codes(
+                emb, cb, n_subs=n_subs
+            ).collect()
+        }
+        assert got == want_codes
+
+    def test_adc_approximates_exact_l2(self, spark):
+        """ADC top-1 on tightly clustered data lands in the query's
+        planted cluster (codes collapse each cluster to one tuple),
+        and adist is within the quantization error of the exact
+        squared L2."""
+        import numpy as np
+
+        vecs = self._vecs(n=40, seed=9)
+        emb = self._emb(spark, vecs)
+        cb = similarity.pq_train(emb, n_subs=4, n_codes=4, n_iters=2)
+        out = similarity.pq_adc_topk(
+            emb, cb, n_queries=4, k=3, n_subs=4
+        ).collect()
+        assert {r.q_id for r in out} == {0, 1, 2, 3}
+        for r in out:
+            if r.rank == 1:
+                # same planted cluster as the query
+                assert r.vec_id % 4 == r.q_id % 4
+                exact = float(
+                    np.sum((vecs[r.q_id] - vecs[r.vec_id]) ** 2)
+                )
+                assert abs(r.adist - exact) < 1.0  # quantization error
+
+    def test_corpus_never_shuffles(self, spark):
+        """Training's only exchanges aggregate on (sub_id, code[, pos])
+        keys; encode (pq_assign) is a single projection against one
+        broadcast codebook row — no exchange keyed on vec_id or the
+        raw vectors anywhere."""
+        import re
+
+        emb = self._emb(spark, self._vecs(n=20))
+        cb = similarity.pq_train(emb, n_subs=4, n_codes=2, n_iters=2)
+        plan = cb._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        for keys in re.findall(
+            r"Exchange hashpartitioning\(([^)]*)\)", plan
+        ):
+            assert "vec_id" not in keys and "embedding" not in keys
+            assert "sub_id" in keys
+        codes = similarity.pq_assign(emb, cb, n_subs=4)
+        cplan = codes._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in cplan
+        # the only exchanges are the (tiny) codebook branch's own
+        # training aggregations — never the corpus
+        for keys in re.findall(
+            r"Exchange hashpartitioning\(([^)]*)\)", cplan
+        ):
+            assert "vec_id" not in keys and "embedding" not in keys
+            assert "sub_id" in keys
+
+    def test_dropped_codeword_survives(self, spark):
+        """A codeword whose cell empties drops out of the codebook and
+        encoding still succeeds (classic Lloyd's, mirrored by the
+        oracle's inner-join shape)."""
+        import numpy as np
+
+        # two tight clusters, 4 init codes -> at least one code starves
+        rng = np.random.RandomState(2)
+        base = rng.randn(2, 8) * 5
+        vecs = np.array(
+            [base[i % 2] + 0.01 * rng.randn(8) for i in range(24)]
+        )
+        emb = self._emb(spark, vecs)
+        cb = similarity.pq_train(emb, n_subs=4, n_codes=4, n_iters=2)
+        per_sub = {}
+        for r in cb.collect():
+            per_sub.setdefault(r.sub_id, set()).add(r.code)
+        assert all(len(cs) <= 4 for cs in per_sub.values())
+        codes = similarity.pq_codes(emb, cb).collect()
+        assert len(codes) == 24 * 4
+        for r in codes:
+            assert r.code in per_sub[r.sub_id]
