@@ -687,3 +687,37 @@ def stream_dsir_gate(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_pq_encode(
+    spark: SparkSession,
+    input_dir: str,
+    codebook: DataFrame,
+    query_name: str = "pq_encode",
+    max_files_per_trigger: int = 4,
+):
+    """Streaming PQ encoding at ingest: every arriving embedding is
+    compressed to its M subspace codes against a FIXED pre-trained
+    codebook (``similarity.pq_train``, trained once — over a hash
+    sample at web scale) — the deployment shape of vector-index
+    ingestion, where the codebook is a broadcast artifact and the
+    stream pays only the one-projection encode path (no shuffle, no
+    state).  Stateless narrow transformation: identical codes to the
+    batch ``pq_assign`` with the same codebook on the same rows
+    (asserted by test).  Append-mode memory sink under
+    ``query_name``."""
+    from .textops.similarity import pq_assign
+
+    emb_schema = "vec_id long, embedding array<float>, label int"
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        pq_assign(stream, codebook)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )

@@ -511,3 +511,40 @@ def test_stream_dsir_gate_matches_batch(spark, tmp_path):
     assert got == want and len(want) == 3
     # every token scored, unseen ones included
     assert {r[1] for r in want} == {3, 4}
+
+
+def test_stream_pq_encode_matches_batch(spark, tmp_path):
+    """Streaming PQ encode against a frozen codebook == batch
+    pq_assign with the same codebook on the same rows."""
+    import numpy as np
+
+    from py_pdf_parser_spark.streaming import stream_pq_encode
+    from py_pdf_parser_spark.textops.similarity import (
+        pq_assign,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(24, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(24)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    codebook = pq_train(emb, n_subs=4, n_codes=4, n_iters=1)
+    in_dir = str(tmp_path / "in")
+    emb.coalesce(1).write.parquet(in_dir)
+
+    q = stream_pq_encode(spark, in_dir, codebook, query_name="pq_t")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.vec_id, tuple(r.codes))
+            for r in spark.sql("SELECT * FROM pq_t").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.vec_id, tuple(r.codes))
+        for r in pq_assign(emb, codebook).collect()
+    }
+    assert got == want and len(want) == 24
