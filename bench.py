@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "emb_kmeans_ivf_topk",
     "emb_pq_codes",
     "emb_pq_adc_topk",
+    "emb_ivfpq_topk",
     "emb_dup_pairs",
     "emb_semantic_dedup",
     "ev_windowed_counts",

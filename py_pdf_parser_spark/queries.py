@@ -3068,6 +3068,111 @@ def emb_pq_recon_stats(spark, sf_dir):
     )
 
 
+def _ivf_residuals_table(spark, sf_dir):
+    """IVF residual table (vec_id, cell_id, embedding − centroid),
+    persisted per (application, corpus): the assignment window runs
+    ONCE; PQ training (2 iterations + final encode = 4 scans) and the
+    query side all reuse the materialization — a deployment stores
+    this table partitioned by cell_id so a probe prunes partitions."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__ivf_residuals__")
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = similarity.ivf_residuals(_emb_table(spark, sf_dir)).persist()
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _ivfpq_oracle() -> str:
+    """The IVFADC composition in SQL: the ivf_assign fragment (coarse
+    cells = first-16-vectors stand-in) -> exact residual subtraction
+    -> the PQ training CTE over residuals -> single-probe ADC within
+    the query's own cell."""
+    return (
+        """
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), cc AS (
+  SELECT vec_id AS cell_id, emb AS c FROM e0 WHERE vec_id < 16
+), sc0 AS (
+  SELECT e0.vec_id, e0.emb, cc.cell_id,
+         list_cosine_similarity(e0.emb, cc.c) AS c_cos
+  FROM e0 CROSS JOIN cc
+), asg AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_cos DESC, cell_id) AS rn
+    FROM sc0) WHERE rn = 1
+), e AS (
+  SELECT a.vec_id, a.cell_id,
+         list_transform(generate_series(1, len(a.emb)),
+                        i -> a.emb[i] - c.c[i]) AS emb
+  FROM asg a JOIN cc c USING (cell_id)
+), sv AS (
+  SELECT vec_id, CAST(s AS BIGINT) AS sub_id,
+         list_slice(emb, CAST(s AS INT) * (len(emb) // 4) + 1,
+                    (CAST(s AS INT) + 1) * (len(emb) // 4)) AS v
+  FROM e, (SELECT unnest(range(0, 4)) AS s) t
+), c0 AS (
+  SELECT sub_id, vec_id AS code, v AS c FROM sv WHERE vec_id < 8
+)"""
+        + _PQ_ITER.format(n=1, p=0)
+        + _PQ_ITER.format(n=2, p=1)
+        + """
+, s3 AS (
+  SELECT sv.vec_id, sv.sub_id, c.code,
+         round(list_distance(sv.v, c.c), 6) AS d
+  FROM sv JOIN c2 c USING (sub_id)
+), a3 AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT vec_id, sub_id, code,
+           row_number() OVER (PARTITION BY vec_id, sub_id
+                              ORDER BY d, code) AS rn
+    FROM s3) WHERE rn = 1
+), q AS (
+  -- queries start AFTER the coarse stand-in centroids: vec_id < 16
+  -- ARE the centroids, so their residuals are identically zero
+  SELECT vec_id AS q_id, cell_id FROM e
+  WHERE vec_id >= 16 AND vec_id < 26
+), qsv AS (
+  SELECT vec_id AS q_id, sub_id, v FROM sv
+  WHERE vec_id >= 16 AND vec_id < 26
+), lut AS (
+  SELECT qs.q_id, c.sub_id, c.code,
+         round(power(list_distance(qs.v, c.c), 2), 6) AS d2
+  FROM qsv qs JOIN c2 c USING (sub_id)
+), cand AS (
+  SELECT a3.vec_id, a3.sub_id, a3.code, e.cell_id
+  FROM a3 JOIN e USING (vec_id)
+), sc AS (
+  SELECT q.q_id, cd.vec_id, round(SUM(l.d2), 4) AS adist
+  FROM q JOIN cand cd ON cd.cell_id = q.cell_id AND cd.vec_id != q.q_id
+  JOIN lut l ON l.q_id = q.q_id AND l.sub_id = cd.sub_id
+            AND l.code = cd.code
+  GROUP BY q.q_id, cd.vec_id
+), r AS (
+  SELECT q_id, vec_id, adist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist, vec_id) AS rank
+  FROM sc
+)
+SELECT q_id, vec_id, adist, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5"""
+    )
+
+
+@q("emb_ivfpq_topk", _ivfpq_oracle())
+def emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search (FAISS-style IVFADC, end to end): coarse-assign
+    to cells, PQ-encode each vector's RESIDUAL with one shared
+    codebook, answer queries by probing the query's own cell and
+    ADC-scoring only that cell's compressed codes — the 10^12-vector
+    serving shape (index = cell_id + M bytes/vector, codebook + LUTs
+    ride broadcasts, a probe touches ~1/n_cells of the codes)."""
+    res = _ivf_residuals_table(spark, sf_dir)
+    return similarity.ivfpq_topk(_emb_table(spark, sf_dir), residuals=res)
+
+
 # ---------------------------------------------------------------------------
 # event-stream analytics (events table): time windows, sessions, JSON
 # ---------------------------------------------------------------------------

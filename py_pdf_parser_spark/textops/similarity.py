@@ -637,11 +637,13 @@ def pq_assign(
     codebook: DataFrame,
     n_subs: int = N_PQ_SUBS,
     round_dp: int = 6,
+    keep: tuple = (),
 ) -> DataFrame:
     """Encode every vector as M codes in ONE projection — no explode,
     no shuffle: (vec_id, codes array<bigint> ordered by sub_id).  This
     is the table a deployment persists (M bytes/vector instead of the
-    raw floats) and every ADC consumer scans."""
+    raw floats) and every ADC consumer scans.  ``keep`` names extra
+    input columns to carry through (e.g. the IVF cell_id)."""
     best = _pq_best_code("s", "svs[cast(s as int)]", round_dp) + ".code"
     codes = (
         f"transform(sequence(0, {n_subs - 1}), s -> {best})"
@@ -649,7 +651,7 @@ def pq_assign(
     return (
         emb.withColumn("svs", F.expr(_pq_subvecs_expr(n_subs)))
         .join(F.broadcast(_pq_cells_row(codebook)))
-        .select("vec_id", F.expr(codes).alias("codes"))
+        .select("vec_id", *keep, F.expr(codes).alias("codes"))
     )
 
 
@@ -762,4 +764,133 @@ def pq_recon_stats(
             F.count("*").alias("n_vecs"),
             F.round(F.avg("d"), 4).alias("mean_dist"),
         )
+    )
+
+
+def ivf_residuals(
+    emb: DataFrame,
+    n_cells: int = N_IVF_CELLS,
+    centroids: DataFrame = None,
+) -> DataFrame:
+    """Coarse-quantize and subtract: (vec_id, cell_id, embedding =
+    vector − its cell centroid).  The residual table IVF-PQ encodes —
+    residuals are much tighter than raw vectors, so the same code
+    budget quantizes them far more accurately (Jegou et al. 2011 §IV).
+    Centroid subtraction is exact double arithmetic (no rounding
+    needed for cross-engine parity); a deployment materializes this
+    table once alongside the codes."""
+    assigned = _ivf_scored(emb, n_cells, centroids=centroids).where(
+        F.col("rn") == 1
+    )
+    if centroids is None:
+        cents = emb.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"),
+            F.expr(
+                "transform(embedding, x -> cast(x as double))"
+            ).alias("c_emb"),
+        )
+    else:
+        cents = centroids.select(
+            "cell_id", F.col("centroid").alias("c_emb")
+        )
+    return assigned.join(F.broadcast(cents), "cell_id").select(
+        "vec_id",
+        "cell_id",
+        F.expr(
+            "zip_with(embedding, c_emb, (x, y) -> cast(x as double) - y)"
+        ).alias("embedding"),
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    residuals: DataFrame = None,
+    codebook: DataFrame = None,
+    n_cells: int = N_IVF_CELLS,
+    n_queries: int = 10,
+    q_lo: int = None,
+    k: int = 5,
+    n_subs: int = N_PQ_SUBS,
+    n_codes: int = N_PQ_CODES,
+    n_iters: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-PQ search (the FAISS-style IVFADC index, end to end):
+    coarse-assign every vector to a cell, PQ-encode its RESIDUAL with
+    one codebook shared across cells, then answer queries by probing
+    the query's own cell and ADC-scoring only that cell's compressed
+    codes.  The web-scale serving shape for 10^12 vectors: the index
+    is (cell_id, M codes) per vector — a few bytes — the codebook and
+    per-query LUTs ride broadcasts, and a query touches ~1/n_cells of
+    the codes table (partition the codes table by cell_id and the
+    probe prunes partitions).
+
+    Queries default to the ``n_queries`` vectors AFTER the coarse
+    stand-in centroids (``q_lo = n_cells``): the first ``n_cells``
+    vectors ARE the centroids, so their residuals are exactly zero and
+    every query would build the identical LUT — a degenerate probe.
+
+    Output: (q_id, vec_id, adist, rank) — ADC approximation of the
+    residual-space squared L2 within the probed cell, 4dp, vec_id
+    tie-break."""
+    if residuals is None:
+        residuals = ivf_residuals(emb, n_cells)
+    if codebook is None:
+        codebook = pq_train(
+            residuals.select("vec_id", "embedding"),
+            n_subs, n_codes, n_iters, round_dp,
+        )
+    codes = pq_assign(
+        residuals, codebook, n_subs, round_dp, keep=("cell_id",)
+    )
+    d2 = _SUB_D2.format(a="svs[cast(s as int)]", b="cb.c")
+    lut = f"""
+flatten(transform(sequence(0, {n_subs - 1}), s ->
+  transform(filter(cells, cb -> cb.sub_id = s),
+            cb -> named_struct(
+                'sub_id', cb.sub_id, 'code', cb.code,
+                'd2', round({d2}, {round_dp})))))"""
+    if q_lo is None:
+        q_lo = n_cells
+    q_lut = (
+        residuals.where(
+            (F.col("vec_id") >= q_lo)
+            & (F.col("vec_id") < q_lo + n_queries)
+        )
+        .withColumn("svs", F.expr(_pq_subvecs_expr(n_subs)))
+        .join(F.broadcast(_pq_cells_row(codebook)))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("cell_id").alias("q_cell"),
+            F.expr(lut).alias("lut"),
+        )
+    )
+    qrow = q_lut.agg(
+        F.expr(
+            "array_sort(collect_list(struct(q_id, q_cell, lut)))"
+        ).alias("qs")
+    )
+    adist = (
+        "round(aggregate("
+        "filter(q.lut, e -> e.code = codes[cast(e.sub_id as int)]), "
+        "cast(0.0 as double), (acc, e) -> acc + e.d2), 4)"
+    )
+    scored = (
+        codes.join(F.broadcast(qrow))
+        .select("vec_id", "cell_id", "codes", F.explode("qs").alias("q"))
+        .where(
+            (F.col("q.q_cell") == F.col("cell_id"))
+            & (F.col("vec_id") != F.col("q.q_id"))
+        )
+        .select(
+            "vec_id",
+            F.col("q.q_id").alias("q_id"),
+            F.expr(adist).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "adist", "rank")
     )

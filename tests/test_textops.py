@@ -1921,3 +1921,58 @@ class TestProductQuantization:
         assert len(codes) == 24 * 4
         for r in codes:
             assert r.code in per_sub[r.sub_id]
+
+
+class TestIvfPq:
+    """IVF-PQ composition (similarity.ivf_residuals / ivfpq_topk)."""
+
+    def test_residuals_are_exact_and_zero_for_centroids(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(21)
+        vecs = rng.randn(30, 8)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        res = {
+            r.vec_id: (r.cell_id, r.embedding)
+            for r in similarity.ivf_residuals(emb, n_cells=4).collect()
+        }
+        assert len(res) == 30
+        for i in range(4):  # a centroid's own residual is exactly zero
+            assert res[i][0] == i
+            assert all(x == 0.0 for x in res[i][1])
+        for i, (cell, r) in res.items():
+            assert np.allclose(np.array(r) + vecs[cell], vecs[i])
+
+    def test_probed_cell_only_and_rank_contract(self, spark):
+        """Every result lies in its query's coarse cell; ranks are
+        1..k dense per query; queries start past the centroids (their
+        residuals are zero by construction)."""
+        import numpy as np
+
+        rng = np.random.RandomState(22)
+        base = rng.randn(4, 8) * 3
+        vecs = np.array(
+            [base[i % 4] + 0.3 * rng.randn(8) for i in range(64)]
+        )
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(64)],
+            "vec_id long, embedding array<double>",
+        )
+        cells = {
+            r.vec_id: r.cell_id
+            for r in similarity.ivf_residuals(emb, n_cells=4).collect()
+        }
+        out = similarity.ivfpq_topk(
+            emb, n_cells=4, n_queries=4, k=3, n_codes=4
+        ).collect()
+        assert {r.q_id for r in out} == {4, 5, 6, 7}  # q_lo = n_cells
+        per_q = {}
+        for r in out:
+            assert cells[r.vec_id] == cells[r.q_id]
+            assert r.vec_id != r.q_id
+            per_q.setdefault(r.q_id, []).append(r.rank)
+        for ranks in per_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
