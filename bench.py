@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "td_vocab_topk",
     "td_tfidf_topk",
     "td_bpe_merge_counts",
+    "td_bm25_topk",
     "td_length_quantiles",
     "td_ppl_buckets",
     "html_line_dedup",

@@ -1878,6 +1878,53 @@ def td_bpe_merge_counts(spark, sf_dir):
     return analysis.bpe_merge_counts(_docs_table(spark, sf_dir))
 
 
+@q(
+    "td_bm25_topk",
+    """
+WITH q(q_id, tok) AS (VALUES
+  (0, 'spark'), (0, 'window'), (0, 'merge'),
+  (1, 'hash'), (1, 'join'), (1, 'scan'),
+  (2, 'customer'), (2, 'order'), (2, 'line')),
+t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+p AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+      FROM t WHERE tok IN (SELECT DISTINCT tok FROM q)
+      GROUP BY doc_id, tok),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot
+       FROM documents),
+dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY tok),
+idf AS (SELECT tok, n_docs, tot,
+               CAST(round(log2((n_docs + 1.0) / (df + 1.0)) * 1000000)
+                    AS BIGINT) AS idf_micro
+        FROM dfq, st),
+c AS (SELECT q.q_id, p.doc_id,
+             CAST(round(idf.idf_micro * (p.tf * 2.2)
+                  / (p.tf + 1.2 * (0.25 + 0.75 * (p.dl
+                       / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                  AS BIGINT) AS c_micro
+      FROM p JOIN idf USING (tok) JOIN q USING (tok)),
+s AS (SELECT q_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+      FROM c GROUP BY q_id, doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score_micro DESC, doc_id) AS rank
+      FROM s)
+SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, score_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10""",
+)
+def td_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval: top-10 corpus documents per seed query —
+    targeted curation's retrieval stage (pull eval-set lookalikes,
+    the keep-direction dual of td_decontaminate).  Micro-bit integer
+    idf and per-term contributions rounded BEFORE the per-(q, doc)
+    sum make the score exact on both engines; the corpus shuffles
+    only query-term postings (tok IN (...) pushed under the explode),
+    df/stats join back as broadcasts."""
+    return analysis.bm25_topk(_docs_table(spark, sf_dir))
+
+
 # Shared CTE for the shard-packing oracles: whitespace token counts +
 # the exclusive running sum in doc_id order.  The Spark side computes
 # the identical cumsum DISTRIBUTED (value-range buckets + tiny prefix

@@ -1073,3 +1073,111 @@ def corpus_manifest(docs: DataFrame) -> DataFrame:
             6,
         ).alias("dup_frac"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+DEFAULT_BM25_QUERIES = (
+    (0, ("spark", "window", "merge")),
+    (1, ("hash", "join", "scan")),
+    (2, ("customer", "order", "line")),
+)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries=DEFAULT_BM25_QUERIES,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus: for each (q_id, terms)
+    query return the top-``k`` documents -> (q_id, doc_id,
+    score_micro, rank).  The retrieval stage of targeted curation —
+    pull the corpus documents most similar to an eval/seed set (the
+    other direction from ``decontaminate``: keep lookalikes instead
+    of dropping overlaps).
+
+    Scoring (Robertson-Sparck Jones, public): per matched term,
+    ``idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))``.  idf uses
+    ``tfidf_topk``'s fixed-point discipline — micro-bit BIGINT
+    ``round(log2((N+1)/(df+1)) * 1e6)``, one float log2 per distinct
+    query term — and each term contribution is rounded to an integer
+    BEFORE the per-(query, doc) sum, so the aggregate is exact integer
+    arithmetic: partition-order-free and engine-portable.  Every float
+    step is a single fixed expression tree evaluated identically by
+    both engines.  Deterministic tie-break: score desc, doc_id asc.
+
+    Scale shape — the posting-list plan: the corpus is scanned once,
+    tokens explode THROUGH a pushed ``tok IN (terms)`` literal filter
+    (query vocabularies are tiny), so the only corpus-keyed shuffle
+    carries query-term postings, not the corpus; ``dl`` rides the
+    posting rows (no separate doc-length join); ``df``/corpus stats
+    reduce to term-count/1-row tables that join back as broadcasts;
+    the top-k window partitions by q_id over candidates bounded by
+    posting-list size.
+    """
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    qterms = docs.sparkSession.createDataFrame(
+        [(int(q), t) for q, ts in queries for t in ts],
+        "q_id long, tok string",
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("total_tokens"),
+    )
+    postings = (
+        docs.select(
+            "doc_id",
+            F.size(_tokens()).cast("long").alias("dl"),
+            F.explode(_tokens()).alias("tok"),
+        )
+        .where(F.col("tok").isin(all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfq = postings.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    idf = dfq.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.log2(
+                (F.col("n_docs") + F.lit(1)).cast("double")
+                / (F.col("df") + F.lit(1)).cast("double")
+            )
+            * F.lit(LM_MICRO)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col(
+        "n_docs"
+    ).cast("double")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    contrib = (
+        postings.join(F.broadcast(idf), "tok")
+        .join(F.broadcast(qterms), "tok")
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(
+                F.col("idf_micro") * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("q_id", "doc_id").agg(
+        F.sum("c_micro").cast("long").alias("score_micro")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "doc_id", "score_micro", "rank")
+    )

@@ -1976,3 +1976,86 @@ class TestIvfPq:
             per_q.setdefault(r.q_id, []).append(r.rank)
         for ranks in per_q.values():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+class TestBm25:
+    """analysis.bm25_topk: Okapi BM25 retrieval for targeted curation."""
+
+    def _py_bm25(self, texts, queries, k1=1.2, b=0.75):
+        """Plain-python reference with the same fixed-point contract."""
+        import math
+
+        toks = {d: t.split(" ") for d, t in texts.items()}
+        n_docs = len(texts)
+        tot = sum(len(t) for t in toks.values())
+        avgdl = float(tot) / float(n_docs)
+        out = {}
+        for q_id, terms in queries:
+            scores = {}
+            for d, t in toks.items():
+                s = 0
+                for term in terms:
+                    tf = t.count(term)
+                    if tf == 0:
+                        continue
+                    df = sum(1 for tt in toks.values() if term in tt)
+                    idf = round(
+                        math.log2((n_docs + 1.0) / (df + 1.0)) * 1e6
+                    )
+                    s += round(
+                        idf * (tf * 2.2)
+                        / (tf + k1 * (0.25 + 0.75 * (len(t) / avgdl)))
+                    )
+                if s:
+                    scores[d] = s
+            out[q_id] = sorted(
+                scores.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+        return out
+
+    def test_differential_vs_plain_python(self, spark):
+        texts = {
+            0: "spark merge window merge merge",
+            1: "spark window",
+            2: "hash join scan join",
+            3: "the quick brown fox",
+            4: "spark spark spark spark spark spark spark spark",
+            5: "merge window spark hash",
+        }
+        queries = ((0, ("spark", "window", "merge")), (1, ("hash", "join")))
+        docs = _docs(spark, list({(d, t) for d, t in texts.items()}))
+        got = {
+            (r.q_id, r.doc_id): (r.score_micro, r.rank)
+            for r in analysis.bm25_topk(docs, queries=queries, k=10).collect()
+        }
+        want = self._py_bm25(texts, queries)
+        for q_id, ranking in want.items():
+            for rank, (d, s) in enumerate(ranking[:10], start=1):
+                assert got[(q_id, d)] == (s, rank), (q_id, d)
+        assert len(got) == sum(len(v) for v in want.values())
+
+    def test_length_normalization_prefers_shorter_doc(self, spark):
+        # same tf for the query term, one doc padded with filler:
+        # BM25's dl/avgdl penalty must rank the short doc first.
+        docs = _docs(
+            spark,
+            [
+                (0, "spark alpha"),
+                (1, "spark " + " ".join(["filler"] * 30)),
+            ],
+        )
+        out = analysis.bm25_topk(docs, queries=((0, ("spark",)),)).collect()
+        by_rank = {r.rank: r.doc_id for r in out}
+        assert by_rank[1] == 0 and by_rank[2] == 1
+
+    def test_only_matching_docs_and_dense_ranks(self, spark):
+        docs = _docs(
+            spark,
+            [(i, "spark data" if i % 3 == 0 else "other text") for i in range(12)],
+        )
+        out = analysis.bm25_topk(
+            docs, queries=((7, ("spark",)),), k=3
+        ).collect()
+        assert {r.q_id for r in out} == {7}
+        assert all(r.doc_id % 3 == 0 for r in out)
+        assert sorted(r.rank for r in out) == [1, 2, 3]
