@@ -721,3 +721,68 @@ def stream_pq_encode(
         .outputMode("append")
         .start()
     )
+
+
+def write_bm25_batch(
+    batch_df: "DataFrame",
+    batch_id: int,
+    model: "DataFrame",
+    output_dir: str,
+) -> None:
+    """Idempotent micro-batch writer for ``stream_bm25_gate``: score
+    the batch against the FIXED model, dynamic-partition-overwrite on
+    batch_id (scoring is deterministic integer arithmetic, so a
+    replayed batch rewrites its partition byte-identically)."""
+    from pyspark.sql import functions as F
+
+    from .textops.analysis import bm25_score
+
+    (
+        bm25_score(batch_df.select("doc_id", "text"), model)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
+def stream_bm25_gate(
+    spark: SparkSession,
+    input_dir: str,
+    model: "DataFrame",
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Streaming BM25 scoring at ingest: every arriving document is
+    scored against a FIXED retrieval model (``analysis.bm25_model``,
+    trained once on a reference corpus) — the deployment shape of
+    targeted curation, where the few-KB model broadcasts and each
+    micro-batch pays only explode -> broadcast join -> exact integer
+    per-(doc, query) sum.  df/idf/avgdl are frozen, so arriving
+    documents never shift the ranking function and a replayed file
+    scores identically.  The per-doc aggregate runs per micro-batch
+    under ``foreachBatch`` (a document arrives whole in one file —
+    the same contract as ``stream_quality_gate``), so results equal
+    the batch ``bm25_score`` with the same model on the same rows
+    (asserted by test).  Exactly-once via batch_id dynamic partition
+    overwrite."""
+    doc_table_schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    stream = (
+        spark.readStream.schema(doc_table_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: "DataFrame", batch_id: int) -> None:
+        write_bm25_batch(batch_df, batch_id, model, output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1181,3 +1181,100 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "doc_id", "score_micro", "rank")
     )
+
+
+def bm25_model(
+    docs: DataFrame, queries=DEFAULT_BM25_QUERIES
+) -> DataFrame:
+    """Train the frozen BM25 retrieval artifact on a reference corpus:
+    (q_id, tok, idf_micro, n_docs, total_tokens) — one row per query
+    term, the whole table a few KB regardless of corpus size, so a
+    deployment broadcasts it and scores arriving documents without
+    ever touching the training corpus again (``bm25_score`` /
+    ``streaming.stream_bm25_gate``).  Same fixed-point idf and corpus
+    stats as ``bm25_topk`` — scoring a corpus against a model trained
+    on it reproduces bm25_topk's scores exactly."""
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    qterms = docs.sparkSession.createDataFrame(
+        [(int(q), t) for q, ts in queries for t in ts],
+        "q_id long, tok string",
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("total_tokens"),
+    )
+    dfq = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .where(F.col("tok").isin(all_terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    idf = dfq.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.log2(
+                (F.col("n_docs") + F.lit(1)).cast("double")
+                / (F.col("df") + F.lit(1)).cast("double")
+            )
+            * F.lit(LM_MICRO)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    return F.broadcast(qterms).join(idf, "tok").select(
+        "q_id", "tok", "idf_micro", "n_docs", "total_tokens"
+    )
+
+
+def bm25_score(
+    docs: DataFrame,
+    model: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Score documents against a FIXED ``bm25_model`` artifact ->
+    (doc_id, q_id, score_micro), one row per (document, query) with at
+    least one matching term.  df/idf/avgdl are frozen in the model
+    (the deployment contract: arriving documents must not shift the
+    ranking function), so this is explode -> broadcast join -> exact
+    integer per-(doc, query) sum — stateless, corpus-parallel, and the
+    path ``streaming.stream_bm25_gate`` runs per micro-batch."""
+    postings = (
+        docs.select(
+            "doc_id",
+            F.size(_tokens()).cast("long").alias("dl"),
+            F.explode(_tokens()).alias("tok"),
+        )
+        .join(F.broadcast(model), "tok")
+        .groupBy("doc_id", "q_id", "tok")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+            F.max("idf_micro").alias("idf_micro"),
+            F.max("n_docs").alias("n_docs"),
+            F.max("total_tokens").alias("total_tokens"),
+        )
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col(
+        "n_docs"
+    ).cast("double")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    return (
+        postings.select(
+            "doc_id",
+            "q_id",
+            F.round(
+                F.col("idf_micro") * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+        .groupBy("doc_id", "q_id")
+        .agg(F.sum("c_micro").cast("long").alias("score_micro"))
+    )

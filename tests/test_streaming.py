@@ -548,3 +548,48 @@ def test_stream_pq_encode_matches_batch(spark, tmp_path):
         for r in pq_assign(emb, codebook).collect()
     }
     assert got == want and len(want) == 24
+
+
+def test_stream_bm25_gate_matches_batch(spark, tmp_path):
+    """Streaming BM25 scoring (fixed retrieval model) == batch
+    bm25_score with the same model on the same rows; the frozen
+    df/avgdl come from the reference corpus, not the stream."""
+    from py_pdf_parser_spark.streaming import stream_bm25_gate
+    from py_pdf_parser_spark.textops.analysis import (
+        bm25_model,
+        bm25_score,
+    )
+
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    ref = spark.createDataFrame(
+        [(i, "spark window merge filler" if i % 2 == 0
+          else "hash join scan other words here", "en", "s", 1)
+         for i in range(20)], schema)
+    queries = ((0, ("spark", "window")), (1, ("hash", "join")))
+    model = bm25_model(ref, queries=queries).persist()
+
+    incoming = spark.createDataFrame(
+        [(1000, "spark spark window", "xx", "s", 1),
+         (1001, "no matching terms at all", "xx", "s", 1),
+         (1002, "hash join spark", "xx", "s", 1)], schema)
+    in_dir = str(tmp_path / "in")
+    incoming.coalesce(3).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    q = stream_bm25_gate(
+        spark, in_dir, model, out_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["doc_id"], r["q_id"], r["score_micro"])
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {tuple(r) for r in bm25_score(incoming, model).collect()}
+    assert got == want
+    # doc 1002 matches both queries; 1001 matches none
+    assert {d for d, _, _ in want} == {1000, 1002}
+    assert {(d, qid) for d, qid, _ in want} == {
+        (1000, 0), (1002, 0), (1002, 1)}

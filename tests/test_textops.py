@@ -2059,3 +2059,40 @@ class TestBm25:
         assert {r.q_id for r in out} == {7}
         assert all(r.doc_id % 3 == 0 for r in out)
         assert sorted(r.rank for r in out) == [1, 2, 3]
+
+
+class TestBm25Model:
+    """bm25_model / bm25_score: the frozen-artifact scoring path."""
+
+    def test_model_scoring_reproduces_bm25_topk(self, spark):
+        """Scoring a corpus against a model trained on it gives the
+        same score_micro values bm25_topk computes end-to-end."""
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        model = analysis.bm25_model(docs)
+        scores = {
+            (r.q_id, r.doc_id): r.score_micro
+            for r in analysis.bm25_score(docs, model).collect()
+        }
+        for r in analysis.bm25_topk(docs, k=10).collect():
+            assert scores[(r.q_id, r.doc_id)] == r.score_micro
+
+    def test_frozen_stats_do_not_drift_with_new_docs(self, spark):
+        """The model's df/avgdl come from the training corpus: scoring
+        the same doc alone or alongside others yields identical rows."""
+        ref = _docs(spark, [(i, "spark merge window data") for i in range(8)])
+        model = analysis.bm25_model(
+            ref, queries=((0, ("spark", "merge")),)
+        ).persist()
+        solo = _docs(spark, [(100, "spark spark merge")])
+        both = _docs(
+            spark, [(100, "spark spark merge"), (101, "spark " * 50)]
+        )
+        s1 = {tuple(r) for r in analysis.bm25_score(solo, model).collect()}
+        s2 = {
+            tuple(r)
+            for r in analysis.bm25_score(both, model).collect()
+            if r.doc_id == 100
+        }
+        assert s1 == s2 and len(s1) == 1
