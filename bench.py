@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "td_jaccard_lsh_verified",
     "td_lsh_candidate_pairs",
     "td_lsh_pairs_capped",
+    "td_dedup_incremental",
     "td_exact_dups",
     "emb_cosine_topk",
     "emb_lsh_topk",

@@ -3429,6 +3429,61 @@ def td_jaccard_lsh_verified(spark, sf_dir):
     )
 
 
+def _dedup_incremental_oracle() -> str:
+    """DuckDB mirror of dedup.dedup_against_index over a doc_id % 4
+    split of the corpus: the shared minhash/band CTE prefix, index
+    reps capped per (band, bucket) by the same band-salted md5 order,
+    new-vs-reps candidate join, exact hashed-shingle Jaccard, best
+    index match per flagged new doc."""
+    h = _H_DUCK.format(s="s")
+    return (
+        _lsh_pairs_cte()
+        + f""",
+newd AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+idx AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0),
+reps AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT b.doc_id, b.band, b.bucket,
+           row_number() OVER (PARTITION BY b.band, b.bucket
+               ORDER BY md5(b.band::VARCHAR || ':' || b.doc_id),
+                        b.doc_id) AS rn
+    FROM banded b JOIN idx USING (doc_id))
+  WHERE rn <= 256),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS doc_id, r.doc_id AS dup_of
+  FROM banded nb JOIN newd USING (doc_id)
+  JOIN reps r ON nb.band = r.band AND nb.bucket = r.bucket),
+hsh AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh),
+pairs AS (
+  SELECT c.doc_id, c.dup_of,
+         len(list_intersect(a.hs, b.hs)) AS ni,
+         len(a.hs) AS na, len(b.hs) AS nb
+  FROM cand c
+  JOIN hsh a ON a.doc_id = c.doc_id
+  JOIN hsh b ON b.doc_id = c.dup_of),
+jj AS (SELECT doc_id, dup_of, round(ni / (na + nb - ni), 4) AS jaccard
+       FROM pairs WHERE round(ni / (na + nb - ni), 4) >= 0.5),
+best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY jaccard DESC, dup_of) AS rn FROM jj)
+SELECT doc_id, dup_of, jaccard FROM best WHERE rn = 1"""
+    )
+
+
+@q("td_dedup_incremental", _dedup_incremental_oracle())
+def td_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of a new snapshot against a frozen index (the
+    production crawl-update shape): flag each new doc's best near-dup
+    index match.  The index's band and shingle tables are reusable
+    materialized artifacts; the new side pays only its own signatures,
+    a join against bucket-capped index reps, and exact verification on
+    candidates — the index corpus is never recomputed or re-shuffled."""
+    docs = _docs_table(spark, sf_dir)
+    return dedup.dedup_against_index(
+        docs.where(F.col("doc_id") % 4 == 0),
+        docs.where(F.col("doc_id") % 4 != 0),
+    )
+
+
 @q("td_dup_clusters", _dup_clusters_oracle())
 def td_dup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over the LSH candidate

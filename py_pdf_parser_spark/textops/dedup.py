@@ -916,3 +916,108 @@ def substring_dedup(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+def index_bucket_reps(
+    index_banded: DataFrame, max_bucket: int = 256
+) -> DataFrame:
+    """Cap the frozen index's band-bucket table at ``max_bucket``
+    representatives per (band, bucket) — the incremental-dedup dual of
+    ``_chunk_capped``.  A boilerplate bucket holding millions of index
+    docs would make every arriving doc that lands in it join-fan-out
+    by the full bucket; for FLAGGING (is this new doc a dup of
+    anything?) a bounded representative set suffices — any true
+    near-dup shares the band signature with the reps too.  Rank order
+    is the same band-salted md5 as ``_chunk_capped`` (deterministic,
+    SQL-reproducible).  A deployment materializes this table once per
+    index build; it is strictly smaller than the full band table."""
+    order_col = F.md5(
+        F.concat_ws(":", F.col("band").cast("string"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("band", "bucket").orderBy(
+        order_col, F.col("doc_id")
+    )
+    return (
+        index_banded.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_bucket)
+        .drop("rn")
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    max_bucket: int = 256,
+    index_banded: Optional[DataFrame] = None,
+    index_rows: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Incremental near-dup dedup: flag each NEW document that
+    near-duplicates a FROZEN, already-ingested index -> (doc_id,
+    dup_of, jaccard), one row per flagged new doc with its best index
+    match (max Jaccard, dup_of tie-break).  The production crawl-update
+    shape: the index's band-bucket and shingle tables are materialized
+    artifacts (pass ``index_banded``/``index_rows``); a new snapshot
+    pays only ITS OWN signatures + a join against the bucket-capped
+    index reps + exact verification on the candidate set — never a
+    corpus x corpus comparison, and the index is never recomputed.
+
+    Recall is the banding's 1-(1-t^2)^16 (same 16x2 config as
+    ``lsh_candidate_pairs``); verification is exact hashed-shingle
+    Jaccard, so false candidates cost one join row, never a wrong
+    flag.  Shuffles: new-side signature aggregate (new-snapshot-sized),
+    the (band, bucket) candidate join, and two (doc, h) verification
+    joins bounded by candidate density."""
+    if index_rows is None:
+        index_rows = shingle_rows(index_docs, n, distinct=True)
+    if index_banded is None:
+        index_banded = minhash_banded(
+            minhash_wide(index_docs, n), rows_per_band
+        )
+    new_rows = shingle_rows(new_docs, n, distinct=True)
+    new_banded = minhash_banded(
+        minhash_wide(new_docs, n, rows=new_rows), rows_per_band
+    )
+    reps = index_bucket_reps(index_banded, max_bucket)
+    cand = (
+        new_banded.join(
+            reps.select(
+                "band", "bucket", F.col("doc_id").alias("dup_of")
+            ),
+            ["band", "bucket"],
+        )
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    n_new = new_rows.groupBy("doc_id").agg(F.count("*").alias("na"))
+    n_idx = index_rows.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    inter = (
+        cand.join(new_rows.select("doc_id", "h"), "doc_id")
+        .join(
+            index_rows.select(F.col("doc_id").alias("dup_of"), "h"),
+            ["dup_of", "h"],
+        )
+        .groupBy("doc_id", "dup_of")
+        .agg(F.count("*").alias("ni"))
+    )
+    j = (
+        inter.join(n_new, "doc_id")
+        .join(n_idx.select(F.col("doc_id").alias("dup_of"), "nb"), "dup_of")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("dup_of")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )

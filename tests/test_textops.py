@@ -2096,3 +2096,50 @@ class TestBm25Model:
             if r.doc_id == 100
         }
         assert s1 == s2 and len(s1) == 1
+
+
+class TestDedupAgainstIndex:
+    """dedup.dedup_against_index: incremental crawl-update dedup."""
+
+    def _mk(self, base, noise):
+        words = (base * 12).split()
+        return " ".join(words[:40] + noise.split())
+
+    def test_flags_only_true_near_dups_with_best_match(self, spark):
+        body = "alpha beta gamma delta epsilon zeta eta theta "
+        idx = _docs(
+            spark,
+            [
+                (1, self._mk(body, "tail one")),
+                (2, self._mk(body, "tail one extra")),
+                (3, "completely different content " * 10),
+            ],
+        )
+        new = _docs(
+            spark,
+            [
+                (100, self._mk(body, "tail one")),  # exact dup of 1
+                (101, "fresh unique text nothing shared " * 8),
+            ],
+        )
+        out = {r.doc_id: (r.dup_of, r.jaccard)
+               for r in dedup.dedup_against_index(new, idx).collect()}
+        assert set(out) == {100}
+        # doc 1 is the identical match (J=1.0); doc 2 is close but lower
+        assert out[100][0] == 1 and out[100][1] == 1.0
+
+    def test_frozen_artifacts_reproduce_recompute(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        new = docs.where(F.col("doc_id") % 4 == 0)
+        idx = docs.where(F.col("doc_id") % 4 != 0)
+        fresh = {tuple(r) for r in
+                 dedup.dedup_against_index(new, idx).collect()}
+        rows = dedup.shingle_rows(idx, 3, distinct=True).persist()
+        banded = dedup.minhash_banded(dedup.minhash_wide(idx, 3)).persist()
+        frozen = {tuple(r) for r in dedup.dedup_against_index(
+            new, idx, index_banded=banded, index_rows=rows).collect()}
+        assert fresh == frozen and len(fresh) > 0
+        for _, _, j in fresh:
+            assert j >= 0.5
